@@ -1,0 +1,246 @@
+"""Smooth forward dynamics: mass matrix, bias forces, passive forces,
+actuation — in world-origin spatial coordinates.
+
+Replaces MuJoCo's mj_forward smooth pipeline (the reference's external C
+engine).  TPU-first design notes:
+
+- the mass matrix is assembled densely as M = sum_b J_b^T I_b J_b over a
+  static per-body ancestor-dof mask — batched 6xnv matmuls instead of the
+  sequential composite-rigid-body recursion; everything vmaps cleanly over
+  thousands of env instances and maps onto the MXU.
+- bias forces use the velocity-product (RNEA with qacc = 0) form:
+  C = sum_b J_b^T (I_b a_vp_b + v_b x* I_b v_b) - J_b^T f_ext_b.
+- nv <= ~15 for supported models, so the final solve is a tiny dense
+  Cholesky — negligible next to the batched FK math.
+
+Passive forces: joint spring/damping (dof_damping used implicitly by the
+Euler integrator, matching MuJoCo's semi-implicit treatment), soft joint
+limits derived from solref (timeconst, dampratio), and the MuJoCo
+"equivalent inertia box" fluid model (viscosity + density) required by the
+swimmer (reference assets/swimmer.xml:16).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mjrl_tpu.physics import math as pm
+from mjrl_tpu.physics.kinematics import Data, fwd_kinematics
+from mjrl_tpu.physics.model import HINGE, SLIDE, Model
+
+
+# ---------------------------------------------------------------------------
+# Static topology helpers (computed at trace time from static aux data)
+# ---------------------------------------------------------------------------
+
+def ancestor_mask(model: Model) -> np.ndarray:
+    """(nbody, nv) float mask: mask[b, d] = 1 iff dof d is on the kinematic
+    chain from the world to body b (inclusive)."""
+    mask = np.zeros((model.nbody, model.nv), np.float32)
+    for b in range(1, model.nbody):
+        p = model.body_parent[b]
+        mask[b] = mask[p]
+        for j in model.body_jnts[b]:
+            mask[b, j] = 1.0
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# Motion subspace and velocities
+# ---------------------------------------------------------------------------
+
+def compute_cdof(model: Model, data: Data):
+    """(nv, 6) world-origin motion axes per dof.
+
+    hinge: (axis, anchor x axis); slide: (0, axis).
+    """
+    cols = []
+    for j in range(model.njnt):
+        a = data.xaxis[j]
+        if model.jnt_type[j] == HINGE:
+            cols.append(jnp.concatenate([a, jnp.cross(data.xanchor[j], a)]))
+        elif model.jnt_type[j] == SLIDE:
+            cols.append(jnp.concatenate([jnp.zeros_like(a), a]))
+        else:
+            raise NotImplementedError
+    return (jnp.stack(cols) if cols
+            else jnp.zeros((0, 6), data.xpos.dtype))
+
+
+def compute_velocities(model: Model, data: Data, cdof, qvel):
+    """Body spatial velocities (nbody, 6) and cdof time derivatives (nv, 6).
+
+    cdofdot[d] = (velocity of the frame carrying dof d) x cdof[d], where
+    that velocity includes preceding dofs of the same body (MuJoCo mj_comVel
+    convention).
+    """
+    dtype = qvel.dtype
+    cvel = [jnp.zeros(6, dtype)]
+    cdofdot = [None] * model.nv
+    for b in range(1, model.nbody):
+        v = cvel[model.body_parent[b]]
+        for j in model.body_jnts[b]:
+            cdofdot[j] = pm.motion_cross(v, cdof[j])
+            v = v + cdof[j] * qvel[j]
+        cvel.append(v)
+    cvel = jnp.stack(cvel)
+    cdofdot = (jnp.stack(cdofdot) if model.nv
+               else jnp.zeros((0, 6), dtype))
+    return cvel, cdofdot
+
+
+# ---------------------------------------------------------------------------
+# Spatial inertias, mass matrix, bias
+# ---------------------------------------------------------------------------
+
+def body_spatial_inertias(model: Model, data: Data):
+    """(nbody, 6, 6) world-origin spatial inertias."""
+    # rotational inertia about CoM in world axes
+    i_world = jnp.einsum("bij,bj,bkj->bik", data.ximat, model.body_inertia,
+                         data.ximat)
+    return jax_vmap_spatial(model.body_mass, i_world, data.xipos)
+
+
+def jax_vmap_spatial(mass, i_world, com):
+    import jax
+    return jax.vmap(pm.spatial_inertia)(mass, i_world, com)
+
+
+def mass_matrix(model: Model, data: Data, cdof):
+    """Dense joint-space inertia M (nv, nv) including armature."""
+    mask = jnp.asarray(ancestor_mask(model), cdof.dtype)  # (nbody, nv)
+    ib = body_spatial_inertias(model, data)               # (nbody, 6, 6)
+    # J_b = cdof^T masked: (nbody, 6, nv)
+    jb = cdof.T[None, :, :] * mask[:, None, :]
+    m = jnp.einsum("bin,bij,bjm->nm", jb, ib, jb)
+    m = m + jnp.diag(model.dof_armature)
+    return m
+
+
+def bias_force(model: Model, data: Data, cdof, cvel, cdofdot, qvel):
+    """qfrc_bias (nv,): Coriolis/centrifugal + gravity, such that
+    M qacc + qfrc_bias = qfrc_applied."""
+    mask = jnp.asarray(ancestor_mask(model), cdof.dtype)
+    ib = body_spatial_inertias(model, data)
+    # velocity-product acceleration per body
+    avp = jnp.einsum("bd,dk,d->bk", mask, cdofdot, qvel)  # (nbody, 6)
+    # f_b = I a_vp + v x* (I v)  - f_gravity
+    iv = jnp.einsum("bij,bj->bi", ib, cvel)
+    f = jnp.einsum("bij,bj->bi", ib, avp) + pm.force_cross(cvel, iv)
+    # gravity as external force at CoM: F = (c x m g, m g)
+    mg = model.body_mass[:, None] * model.gravity[None, :]
+    f_grav = jnp.concatenate([jnp.cross(data.xipos, mg), mg], axis=-1)
+    f = f - f_grav
+    # project: C_d = sum_b mask[b,d] cdof_d . f_b
+    return jnp.einsum("bd,dk,bk->d", mask, cdof, f)
+
+
+def project_body_forces(model: Model, cdof, forces):
+    """Map per-body world-origin spatial forces (nbody, 6) to qfrc (nv,)."""
+    mask = jnp.asarray(ancestor_mask(model), cdof.dtype)
+    return jnp.einsum("bd,dk,bk->d", mask, cdof, forces)
+
+
+# ---------------------------------------------------------------------------
+# Passive forces
+# ---------------------------------------------------------------------------
+
+def spring_force(model: Model, qpos):
+    """Joint springs: -stiffness * (qpos - springref); reference models use
+    stiffness 0 except where MJCF sets it."""
+    return -model.jnt_stiffness * (qpos - model.jnt_ref)
+
+
+def damping_force(model: Model, qvel):
+    return -model.dof_damping * qvel
+
+
+def limit_force(model: Model, qpos, qvel, m_diag):
+    """Soft joint-limit force.
+
+    MuJoCo resolves limits through its soft-constraint solver; here we use
+    the solref-parameterized spring-damper in acceleration units scaled by
+    the effective dof inertia (a stable penalty approximation; documented
+    deviation — interior dynamics are exact, limit contact is approximate).
+    """
+    timeconst = model.limit_solref[:, 0]
+    dampratio = model.limit_solref[:, 1]
+    k = 1.0 / jnp.maximum(timeconst * timeconst * dampratio * dampratio, 1e-12)
+    b = 2.0 / jnp.maximum(timeconst, 1e-12)
+    lo, hi = model.jnt_range[:, 0], model.jnt_range[:, 1]
+    # penetration beyond limits (positive when violated)
+    below = jnp.maximum(lo - qpos, 0.0)
+    above = jnp.maximum(qpos - hi, 0.0)
+    dist = below - above  # signed: positive pushes up, negative pushes down
+    active = ((below > 0) | (above > 0)).astype(qpos.dtype)
+    f = m_diag * (k * dist - b * qvel * active)
+    return model.jnt_limited * active * f
+
+
+def fluid_force(model: Model, data: Data, cvel):
+    """MuJoCo 'equivalent inertia box' fluid model (viscosity + density),
+    computed per body in the inertial (principal) frame and mapped back to
+    world-origin spatial forces.  Constants validated against golden MuJoCo
+    qfrc_passive data (tests/test_physics_golden.py)."""
+    dtype = cvel.dtype
+    # equivalent box SEMI-axes from principal inertia:
+    # full size L_i = sqrt(6 (I_j + I_k - I_i) / m); semi = L/2
+    i0 = model.body_inertia[:, 0]
+    i1 = model.body_inertia[:, 1]
+    i2 = model.body_inertia[:, 2]
+    m = jnp.maximum(model.body_mass, 1e-12)
+    lx = jnp.sqrt(jnp.maximum(6.0 * (i1 + i2 - i0) / m, 1e-12)) * 0.5
+    ly = jnp.sqrt(jnp.maximum(6.0 * (i0 + i2 - i1) / m, 1e-12)) * 0.5
+    lz = jnp.sqrt(jnp.maximum(6.0 * (i0 + i1 - i2) / m, 1e-12)) * 0.5
+    box = jnp.stack([lx, ly, lz], axis=-1)  # (nbody, 3) semi-axes
+
+    # body 6D velocity at CoM in the inertial frame
+    w_world = cvel[:, :3]
+    v_world = pm.point_velocity(cvel, data.xipos)
+    w_l = jnp.einsum("bji,bj->bi", data.ximat, w_world)
+    v_l = jnp.einsum("bji,bj->bi", data.ximat, v_world)
+
+    # viscous drag (equivalent sphere, diameter = mean FULL box size)
+    diam = jnp.sum(box, axis=-1) * 2.0 / 3.0
+    t_visc = -jnp.pi * diam[:, None] ** 3 * model.viscosity * w_l
+    f_visc = -3.0 * jnp.pi * diam[:, None] * model.viscosity * v_l
+
+    # quadratic (density) drag over box faces
+    b0, b1, b2 = box[:, 0], box[:, 1], box[:, 2]
+    area = jnp.stack([b1 * b2, b0 * b2, b0 * b1], axis=-1) * 4.0
+    f_dens = -0.5 * model.density * area * jnp.abs(v_l) * v_l
+    # torque_i = -(1/2) rho b_i (b_j^4 + b_k^4) |w_i| w_i
+    # (calibrated against MuJoCo with single-box probes; see
+    # tests/test_physics_golden.py::test_passive_forces)
+    tcoef = jnp.stack([b0 * (b1 ** 4 + b2 ** 4),
+                       b1 * (b0 ** 4 + b2 ** 4),
+                       b2 * (b0 ** 4 + b1 ** 4)], axis=-1)
+    t_dens = -0.5 * model.density * tcoef * jnp.abs(w_l) * w_l
+
+    # mass-0 bodies (world) get no fluid force
+    has_mass = (model.body_mass > 1e-12).astype(dtype)[:, None]
+    t_l = (t_visc + t_dens) * has_mass
+    f_l = (f_visc + f_dens) * has_mass
+
+    # back to world, as spatial force at origin: n0 = tau + c x f
+    t_w = jnp.einsum("bij,bj->bi", data.ximat, t_l)
+    f_w = jnp.einsum("bij,bj->bi", data.ximat, f_l)
+    n0 = t_w + jnp.cross(data.xipos, f_w)
+    return jnp.concatenate([n0, f_w], axis=-1)  # (nbody, 6)
+
+
+# ---------------------------------------------------------------------------
+# Actuation
+# ---------------------------------------------------------------------------
+
+def actuator_force(model: Model, ctrl):
+    """qfrc_actuator (nv,): motors on joints, force = gear * clipped ctrl
+    (mujoco_env.py do_simulation sets ctrl; clipping per actuator
+    ctrlrange)."""
+    if model.nu == 0:
+        return jnp.zeros((model.nv,), ctrl.dtype)
+    c = jnp.where(model.ctrllimited > 0,
+                  jnp.clip(ctrl, model.ctrlrange[:, 0], model.ctrlrange[:, 1]),
+                  ctrl)
+    force = model.gear * c
+    qfrc = jnp.zeros((model.nv,), ctrl.dtype)
+    return qfrc.at[jnp.asarray(list(model.actuator_joint))].add(force)

@@ -1,0 +1,111 @@
+"""Quaternion / rotation / spatial-vector math for the rigid-body engine.
+
+Conventions (MuJoCo-compatible so models can be validated against golden
+MuJoCo data):
+
+- quaternions are (w, x, y, z), unit norm.
+- rotation matrices are world-from-local.
+- spatial motion vectors are Plücker coordinates at the *world origin*:
+  v = (omega, v0) where v0 is the velocity of the body-fixed point
+  instantaneously at the origin (Featherstone RBDA; same convention as
+  MuJoCo's cvel/cdof after translation to the origin).
+- spatial force vectors are (torque-about-origin, force).
+
+All functions are pure jnp and vmap/jit safe.
+"""
+
+import jax.numpy as jnp
+
+
+def quat_to_mat(q):
+    """(...,4) wxyz -> (...,3,3) rotation matrix."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r = jnp.stack([
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    ], axis=-1)
+    return r.reshape(q.shape[:-1] + (3, 3))
+
+
+def quat_mul(a, b):
+    """Hamilton product, (...,4) x (...,4) -> (...,4)."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], axis=-1)
+
+
+def quat_rotate(q, v):
+    """Rotate vector(s) v (...,3) by quaternion q (...,4)."""
+    return jnp.einsum("...ij,...j->...i", quat_to_mat(q), v)
+
+
+def axis_angle_quat(axis, angle):
+    """Unit axis (...,3), angle (...) -> quaternion."""
+    half = angle * 0.5
+    s = jnp.sin(half)
+    return jnp.concatenate(
+        [jnp.cos(half)[..., None], axis * s[..., None]], axis=-1)
+
+
+def quat_inv(q):
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], q.dtype)
+
+
+def skew(v):
+    """(...,3) -> (...,3,3) cross-product matrix: skew(a) @ b = a x b."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    m = jnp.stack([zero, -z, y,
+                   z, zero, -x,
+                   -y, x, zero], axis=-1)
+    return m.reshape(v.shape[:-1] + (3, 3))
+
+
+# ---------------------------------------------------------------------------
+# Spatial algebra (6-vectors at the world origin)
+# ---------------------------------------------------------------------------
+
+def motion_cross(v, m):
+    """v x m for motion vectors v, m = (omega, lin)."""
+    w, l = v[..., :3], v[..., 3:]
+    mw, ml = m[..., :3], m[..., 3:]
+    return jnp.concatenate([
+        jnp.cross(w, mw),
+        jnp.cross(w, ml) + jnp.cross(l, mw),
+    ], axis=-1)
+
+
+def force_cross(v, f):
+    """v x* f for motion v = (omega, lin), force f = (torque, force)."""
+    w, l = v[..., :3], v[..., 3:]
+    ft, ff = f[..., :3], f[..., 3:]
+    return jnp.concatenate([
+        jnp.cross(w, ft) + jnp.cross(l, ff),
+        jnp.cross(w, ff),
+    ], axis=-1)
+
+
+def spatial_inertia(mass, inertia_world, com):
+    """6x6 spatial inertia at the world origin.
+
+    mass: scalar; inertia_world: (3,3) rotational inertia about the CoM in
+    world axes; com: (3,) CoM world position.  (Featherstone RBDA eq. 2.63.)
+    """
+    cx = skew(com)
+    top_left = inertia_world + mass * (cx @ cx.T)
+    top_right = mass * cx
+    bot_left = mass * cx.T
+    bot_right = mass * jnp.eye(3, dtype=cx.dtype)
+    return jnp.block([[top_left, top_right], [bot_left, bot_right]])
+
+
+def point_velocity(v, p):
+    """Linear velocity of a body point at world position p given the body's
+    spatial motion vector v = (omega, v0)."""
+    return v[..., 3:] + jnp.cross(v[..., :3], p)

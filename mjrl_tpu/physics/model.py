@@ -1,0 +1,427 @@
+"""Static model description + dynamic state for the rigid-body engine.
+
+``Model`` replaces MuJoCo's compiled mjModel (the reference's native C
+dependency — mjrl/envs/mujoco_env.py:11-15): a pytree whose numeric fields
+are jnp arrays (so they can be vmapped for domain randomization and swapped
+under jit, e.g. moving goal sites) and whose *topology* (parents, joint
+types, geom types) is static aux data baked into the trace.
+
+``ModelBuilder`` is the host-side compiler: it turns body/joint/geom/site/
+actuator declarations (from the MJCF parser or programmatic env definitions)
+into a Model, computing per-body mass, CoM and principal inertia from geoms
+exactly like MuJoCo's ``inertiafromgeom`` compiler path so models validate
+against golden MuJoCo data.
+
+Supported joint types: slide, hinge (1 dof each -> nq == nv == njnt).
+Free/ball joints are future work (needed for Ant/Humanoid parity).
+"""
+
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+# joint types
+SLIDE = 2
+HINGE = 3
+
+# geom types (MuJoCo enum values for golden-data compatibility)
+PLANE = 0
+SPHERE = 2
+CAPSULE = 3
+CYLINDER = 5
+BOX = 6
+
+EULER = 0
+RK4 = 1
+
+
+class Model(struct.PyTreeNode):
+    # ---- static topology (trace constants) ----
+    nbody: int = struct.field(pytree_node=False)
+    njnt: int = struct.field(pytree_node=False)
+    nv: int = struct.field(pytree_node=False)
+    nu: int = struct.field(pytree_node=False)
+    ngeom: int = struct.field(pytree_node=False)
+    nsite: int = struct.field(pytree_node=False)
+    body_parent: Tuple[int, ...] = struct.field(pytree_node=False)
+    body_jnts: Tuple[Tuple[int, ...], ...] = struct.field(pytree_node=False)
+    jnt_type: Tuple[int, ...] = struct.field(pytree_node=False)
+    jnt_body: Tuple[int, ...] = struct.field(pytree_node=False)
+    geom_body: Tuple[int, ...] = struct.field(pytree_node=False)
+    geom_type: Tuple[int, ...] = struct.field(pytree_node=False)
+    site_body: Tuple[int, ...] = struct.field(pytree_node=False)
+    actuator_joint: Tuple[int, ...] = struct.field(pytree_node=False)
+    integrator: int = struct.field(pytree_node=False)
+    # collision pairs: tuple of (geom1, geom2) indices, computed at build
+    contact_pairs: Tuple[Tuple[int, int], ...] = struct.field(pytree_node=False)
+
+    # ---- numeric fields (jnp leaves) ----
+    body_pos: Any = None          # (nbody, 3) frame offset in parent frame
+    body_quat: Any = None         # (nbody, 4)
+    body_ipos: Any = None         # (nbody, 3) CoM in body frame
+    body_iquat: Any = None        # (nbody, 4) principal-inertia frame
+    body_mass: Any = None         # (nbody,)
+    body_inertia: Any = None      # (nbody, 3) principal moments
+    jnt_axis: Any = None          # (njnt, 3) in body frame
+    jnt_pos: Any = None           # (njnt, 3) anchor in body frame
+    jnt_range: Any = None         # (njnt, 2)
+    jnt_limited: Any = None       # (njnt,) float mask
+    jnt_stiffness: Any = None     # (njnt,)
+    jnt_ref: Any = None           # (njnt,) reference pose
+    dof_damping: Any = None       # (nv,)
+    dof_armature: Any = None      # (nv,)
+    limit_solref: Any = None      # (njnt, 2) (timeconst, dampratio)
+    gear: Any = None              # (nu,)
+    ctrlrange: Any = None         # (nu, 2)
+    ctrllimited: Any = None       # (nu,) float mask
+    geom_pos: Any = None          # (ngeom, 3) in body frame
+    geom_quat: Any = None         # (ngeom, 4)
+    geom_size: Any = None         # (ngeom, 3)
+    geom_friction: Any = None     # (ngeom, 3)
+    geom_margin: Any = None       # (ngeom,)
+    geom_solref: Any = None       # (ngeom, 2)
+    site_pos: Any = None          # (nsite, 3) in body frame
+    site_quat: Any = None         # (nsite, 4)
+    timestep: Any = None          # scalar
+    gravity: Any = None           # (3,)
+    viscosity: Any = None         # scalar
+    density: Any = None           # scalar (fluid medium density)
+
+    @property
+    def nq(self):
+        return self.nv
+
+
+class State(struct.PyTreeNode):
+    """Dynamic physics state (per environment instance)."""
+    qpos: Any
+    qvel: Any
+
+
+# ===========================================================================
+# Host-side model building (numpy; runs once at env construction)
+# ===========================================================================
+
+_GEOM_TYPES = {"plane": PLANE, "sphere": SPHERE, "capsule": CAPSULE,
+               "cylinder": CYLINDER, "box": BOX}
+_JNT_TYPES = {"slide": SLIDE, "hinge": HINGE}
+
+
+def _np_quat_to_mat(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
+def _zaxis_quat(z):
+    """Quaternion rotating (0,0,1) onto unit vector z (for fromto geoms)."""
+    z = np.asarray(z, np.float64)
+    z = z / np.linalg.norm(z)
+    a = np.cross([0.0, 0.0, 1.0], z)
+    na = np.linalg.norm(a)
+    w = 1.0 + z[2]
+    if na < 1e-12 and w > 1e-8:        # aligned
+        return np.array([1.0, 0, 0, 0])
+    if na < 1e-12:                      # anti-aligned
+        return np.array([0.0, 1.0, 0.0, 0.0])
+    q = np.array([w, a[0], a[1], a[2]])
+    return q / np.linalg.norm(q)
+
+
+def _geom_mass_inertia(gtype, size, density, mass):
+    """Mass and diagonal inertia (about geom CoM, in geom frame) for one
+    geom, matching MuJoCo's inertiafromgeom compiler."""
+    pi = np.pi
+    if gtype == PLANE:
+        return 0.0, np.zeros(3)
+    if gtype == SPHERE:
+        r = size[0]
+        vol = 4.0 / 3.0 * pi * r ** 3
+        m = mass if mass is not None else density * vol
+        i = 0.4 * m * r * r
+        return m, np.array([i, i, i])
+    if gtype == CAPSULE:
+        r, h = size[0], size[1]
+        vc = pi * r * r * (2 * h)
+        vs = 4.0 / 3.0 * pi * r ** 3
+        if mass is not None:
+            density = mass / (vc + vs)
+        mc, ms = density * vc, density * vs
+        m = mc + ms
+        iz = 0.5 * mc * r * r + 0.4 * ms * r * r
+        d = h + 0.375 * r  # hemisphere CoM offset from center: h + 3r/8
+        ix = (mc * (r * r / 4.0 + h * h / 3.0)
+              + ms * (83.0 / 320.0 * r * r + d * d))
+        return m, np.array([ix, ix, iz])
+    if gtype == CYLINDER:
+        r, h = size[0], size[1]
+        vol = pi * r * r * (2 * h)
+        m = mass if mass is not None else density * vol
+        iz = 0.5 * m * r * r
+        ix = m * (r * r / 4.0 + h * h / 3.0)
+        return m, np.array([ix, ix, iz])
+    if gtype == BOX:
+        a, b, c = size
+        vol = 8.0 * a * b * c
+        m = mass if mass is not None else density * vol
+        return m, m / 3.0 * np.array([b * b + c * c, a * a + c * c,
+                                      a * a + b * b])
+    raise ValueError(f"unsupported geom type {gtype}")
+
+
+@dataclass
+class _Body:
+    parent: int
+    pos: np.ndarray
+    quat: np.ndarray
+    joints: list = field(default_factory=list)
+    geoms: list = field(default_factory=list)
+
+
+class ModelBuilder:
+    def __init__(self, timestep=0.002, gravity=(0, 0, -9.81), integrator="euler",
+                 viscosity=0.0, density=0.0):
+        self.opt = dict(timestep=timestep, gravity=np.asarray(gravity, np.float64),
+                        integrator=EULER if integrator.lower() == "euler" else RK4,
+                        viscosity=viscosity, density=density)
+        # body 0 = world
+        self.bodies = [_Body(parent=-1, pos=np.zeros(3),
+                             quat=np.array([1.0, 0, 0, 0]))]
+        self.joints = []
+        self.geoms = []
+        self.sites = []
+        self.actuators = []
+        self.names = {"body": {"world": 0}, "site": {}, "geom": {}, "joint": {}}
+
+    # ---- declaration API -------------------------------------------------
+    def add_body(self, parent, pos=(0, 0, 0), quat=(1, 0, 0, 0), name=None):
+        self.bodies.append(_Body(parent=parent,
+                                 pos=np.asarray(pos, np.float64),
+                                 quat=np.asarray(quat, np.float64)))
+        bid = len(self.bodies) - 1
+        if name:
+            self.names["body"][name] = bid
+        return bid
+
+    def add_joint(self, body, jnt_type, axis=(0, 0, 1), pos=(0, 0, 0),
+                  jnt_range=None, damping=0.0, armature=0.0, stiffness=0.0,
+                  ref=0.0, limited=None, solref=(0.02, 1.0), name=None):
+        if limited is None:
+            limited = jnt_range is not None
+        jid = len(self.joints)
+        axis = np.asarray(axis, np.float64)
+        axis = axis / np.linalg.norm(axis)
+        self.joints.append(dict(
+            body=body, type=_JNT_TYPES[jnt_type], axis=axis,
+            pos=np.asarray(pos, np.float64),
+            range=np.asarray(jnt_range if jnt_range is not None else (0.0, 0.0),
+                             np.float64),
+            limited=float(bool(limited)), damping=damping, armature=armature,
+            stiffness=stiffness, ref=ref, solref=np.asarray(solref, np.float64)))
+        self.bodies[body].joints.append(jid)
+        if name:
+            self.names["joint"][name] = jid
+        return jid
+
+    def add_geom(self, body, gtype, size=(0, 0, 0), pos=(0, 0, 0),
+                 quat=(1, 0, 0, 0), fromto=None, density=1000.0, mass=None,
+                 contype=1, conaffinity=1, friction=(1.0, 0.005, 0.0001),
+                 margin=0.0, solref=(0.02, 1.0), name=None):
+        size = np.array(list(size) + [0.0] * (3 - len(size)), np.float64)
+        pos = np.asarray(pos, np.float64)
+        quat = np.asarray(quat, np.float64)
+        if fromto is not None:
+            f = np.asarray(fromto, np.float64)
+            a, b = f[:3], f[3:]
+            pos = 0.5 * (a + b)
+            quat = _zaxis_quat(b - a)
+            size = np.array([size[0], 0.5 * np.linalg.norm(b - a), 0.0])
+        gid = len(self.geoms)
+        self.geoms.append(dict(
+            body=body, type=_GEOM_TYPES[gtype], size=size, pos=pos, quat=quat,
+            density=density, mass=mass, contype=int(contype),
+            conaffinity=int(conaffinity),
+            friction=np.asarray(friction, np.float64), margin=margin,
+            solref=np.asarray(solref, np.float64)))
+        self.bodies[body].geoms.append(gid)
+        if name:
+            self.names["geom"][name] = gid
+        return gid
+
+    def add_site(self, body, pos=(0, 0, 0), quat=(1, 0, 0, 0), name=None):
+        sid = len(self.sites)
+        self.sites.append(dict(body=body, pos=np.asarray(pos, np.float64),
+                               quat=np.asarray(quat, np.float64)))
+        if name:
+            self.names["site"][name] = sid
+        return sid
+
+    def add_actuator(self, joint, gear=1.0, ctrlrange=(-1.0, 1.0),
+                     ctrllimited=True):
+        self.actuators.append(dict(joint=joint, gear=gear,
+                                   ctrlrange=np.asarray(ctrlrange, np.float64),
+                                   ctrllimited=float(bool(ctrllimited))))
+        return len(self.actuators) - 1
+
+    # ---- compilation ------------------------------------------------------
+    def _body_inertial(self, body):
+        """Combine geom inertias -> (mass, ipos, iquat, principal inertia)."""
+        total_m = 0.0
+        com = np.zeros(3)
+        for gid in body.geoms:
+            g = self.geoms[gid]
+            m, _ = _geom_mass_inertia(g["type"], g["size"], g["density"],
+                                      g["mass"])
+            total_m += m
+            com += m * g["pos"]
+        if total_m < 1e-12:
+            # massless body: MuJoCo would reject it unless it's the world or
+            # has children carrying mass; give tiny defaults.
+            return 0.0, np.zeros(3), np.array([1.0, 0, 0, 0]), np.zeros(3)
+        com = com / total_m
+        if len(body.geoms) == 1:
+            # single geom: inertia is diagonal in the geom frame — use it
+            # directly (matches MuJoCo; with anisotropic fluid drag the
+            # *choice* of principal axes in a degenerate subspace is
+            # physically meaningful, so eigh's arbitrary basis won't do).
+            g = self.geoms[body.geoms[0]]
+            m, idiag = _geom_mass_inertia(g["type"], g["size"], g["density"],
+                                          g["mass"])
+            return m, g["pos"].copy(), g["quat"] / np.linalg.norm(g["quat"]), \
+                idiag
+        itot = np.zeros((3, 3))
+        for gid in body.geoms:
+            g = self.geoms[gid]
+            m, idiag = _geom_mass_inertia(g["type"], g["size"], g["density"],
+                                          g["mass"])
+            r = _np_quat_to_mat(g["quat"])
+            i_body = r @ np.diag(idiag) @ r.T
+            d = g["pos"] - com
+            i_body += m * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
+            itot += i_body
+        evals, evecs = np.linalg.eigh(itot)
+        # descending order like MuJoCo
+        order = np.argsort(evals)[::-1]
+        evals = evals[order]
+        evecs = evecs[:, order]
+        if np.linalg.det(evecs) < 0:
+            evecs[:, 2] *= -1
+        # rotation matrix -> quaternion
+        t = np.trace(evecs)
+        if t > 0:
+            s = np.sqrt(t + 1.0) * 2
+            q = np.array([0.25 * s, (evecs[2, 1] - evecs[1, 2]) / s,
+                          (evecs[0, 2] - evecs[2, 0]) / s,
+                          (evecs[1, 0] - evecs[0, 1]) / s])
+        else:
+            i = np.argmax(np.diag(evecs))
+            j, k = (i + 1) % 3, (i + 2) % 3
+            s = np.sqrt(1.0 + evecs[i, i] - evecs[j, j] - evecs[k, k]) * 2
+            q = np.zeros(4)
+            q[0] = (evecs[k, j] - evecs[j, k]) / s
+            q[1 + i] = 0.25 * s
+            q[1 + j] = (evecs[j, i] + evecs[i, j]) / s
+            q[1 + k] = (evecs[k, i] + evecs[i, k]) / s
+        q = q / np.linalg.norm(q)
+        return total_m, com, q, np.maximum(evals, 0.0)
+
+    def _contact_pairs(self):
+        """MuJoCo pair filtering: different bodies, not parent-child,
+        (contype1 & conaffinity2) or (contype2 & conaffinity1)."""
+        pairs = []
+        for i, g1 in enumerate(self.geoms):
+            for j in range(i + 1, len(self.geoms)):
+                g2 = self.geoms[j]
+                b1, b2 = g1["body"], g2["body"]
+                if b1 == b2:
+                    continue
+                p1, p2 = self.bodies[b1].parent, self.bodies[b2].parent
+                # exclude parent-child (MuJoCo default; world-body geoms
+                # like floors are exempt from the parent-child exclusion)
+                if (p1 == b2 and b2 != 0) or (p2 == b1 and b1 != 0):
+                    continue
+                if (g1["contype"] & g2["conaffinity"]) or \
+                   (g2["contype"] & g1["conaffinity"]):
+                    pairs.append((i, j))
+        return tuple(pairs)
+
+    def _sort_by_body(self):
+        """MuJoCo orders geoms/sites grouped by body in tree order; match
+        that so golden-index comparisons line up."""
+        for kind, items in (("geom", self.geoms), ("site", self.sites)):
+            order = sorted(range(len(items)), key=lambda i: items[i]["body"])
+            remap = {old: new for new, old in enumerate(order)}
+            items[:] = [items[i] for i in order]
+            self.names[kind] = {k: remap[v] for k, v in self.names[kind].items()}
+            if kind == "geom":
+                for b in self.bodies:
+                    b.geoms = [remap[g] for g in b.geoms]
+
+    def finalize(self, dtype=jnp.float32):
+        self._sort_by_body()
+        nbody = len(self.bodies)
+        njnt = len(self.joints)
+        nu = len(self.actuators)
+        ngeom = len(self.geoms)
+        nsite = len(self.sites)
+
+        mass = np.zeros(nbody)
+        ipos = np.zeros((nbody, 3))
+        iquat = np.tile(np.array([1.0, 0, 0, 0]), (nbody, 1))
+        inertia = np.zeros((nbody, 3))
+        # body 0 is the static world: zero mass regardless of its geoms
+        for b in range(1, nbody):
+            m, c, q, i = self._body_inertial(self.bodies[b])
+            mass[b], ipos[b], iquat[b], inertia[b] = m, c, q, i
+
+        def arr(x):
+            return jnp.asarray(np.asarray(x), dtype)
+
+        j = self.joints
+        model = Model(
+            nbody=nbody, njnt=njnt, nv=njnt, nu=nu, ngeom=ngeom, nsite=nsite,
+            body_parent=tuple(b.parent for b in self.bodies),
+            body_jnts=tuple(tuple(b.joints) for b in self.bodies),
+            jnt_type=tuple(x["type"] for x in j),
+            jnt_body=tuple(x["body"] for x in j),
+            geom_body=tuple(g["body"] for g in self.geoms),
+            geom_type=tuple(g["type"] for g in self.geoms),
+            site_body=tuple(s["body"] for s in self.sites),
+            actuator_joint=tuple(a["joint"] for a in self.actuators),
+            integrator=self.opt["integrator"],
+            contact_pairs=self._contact_pairs(),
+            body_pos=arr([b.pos for b in self.bodies]),
+            body_quat=arr([b.quat for b in self.bodies]),
+            body_ipos=arr(ipos), body_iquat=arr(iquat),
+            body_mass=arr(mass), body_inertia=arr(inertia),
+            jnt_axis=arr([x["axis"] for x in j]).reshape(njnt, 3),
+            jnt_pos=arr([x["pos"] for x in j]).reshape(njnt, 3),
+            jnt_range=arr([x["range"] for x in j]).reshape(njnt, 2),
+            jnt_limited=arr([x["limited"] for x in j]).reshape(njnt),
+            jnt_stiffness=arr([x["stiffness"] for x in j]).reshape(njnt),
+            jnt_ref=arr([x["ref"] for x in j]).reshape(njnt),
+            dof_damping=arr([x["damping"] for x in j]).reshape(njnt),
+            dof_armature=arr([x["armature"] for x in j]).reshape(njnt),
+            limit_solref=arr([x["solref"] for x in j]).reshape(njnt, 2),
+            gear=arr([a["gear"] for a in self.actuators]).reshape(nu),
+            ctrlrange=arr([a["ctrlrange"] for a in self.actuators]).reshape(nu, 2),
+            ctrllimited=arr([a["ctrllimited"] for a in self.actuators]).reshape(nu),
+            geom_pos=arr([g["pos"] for g in self.geoms]).reshape(ngeom, 3),
+            geom_quat=arr([g["quat"] for g in self.geoms]).reshape(ngeom, 4),
+            geom_size=arr([g["size"] for g in self.geoms]).reshape(ngeom, 3),
+            geom_friction=arr([g["friction"] for g in self.geoms]).reshape(ngeom, 3),
+            geom_margin=arr([g["margin"] for g in self.geoms]).reshape(ngeom),
+            geom_solref=arr([g["solref"] for g in self.geoms]).reshape(ngeom, 2),
+            site_pos=arr([s["pos"] for s in self.sites]).reshape(nsite, 3),
+            site_quat=arr([s["quat"] for s in self.sites]).reshape(nsite, 4),
+            timestep=arr(self.opt["timestep"]),
+            gravity=arr(self.opt["gravity"]),
+            viscosity=arr(self.opt["viscosity"]),
+            density=arr(self.opt["density"]),
+        )
+        return model
