@@ -1,0 +1,39 @@
+"""Environment registry (reference mjrl/envs/__init__.py:7-29).
+
+``make(env_id)`` returns a functional env; ``GymEnv(env_id)`` wraps it with
+the reference's stateful host-side API (mjrl/utils/gym_env.py).
+"""
+
+from mjrl_tpu.envs.base import EnvSpec, EnvState, MujocoLikeEnv
+from mjrl_tpu.envs.point_mass import PointMassEnv
+from mjrl_tpu.envs.swimmer import SwimmerEnv
+from mjrl_tpu.envs.reacher import Reacher7DOFEnv
+from mjrl_tpu.envs.peg_insertion import PegEnv
+
+_REGISTRY = {}
+
+
+def register(env_id, cls, **kwargs):
+    _REGISTRY[env_id] = (cls, kwargs)
+
+
+def registered_ids():
+    return sorted(_REGISTRY)
+
+
+def make(env_id, **overrides):
+    """Instantiate a functional env by id."""
+    if env_id not in _REGISTRY:
+        raise KeyError(
+            f"unknown env id {env_id!r}; known: {registered_ids()}")
+    cls, kwargs = _REGISTRY[env_id]
+    return cls(**{**kwargs, **overrides})
+
+
+# max_episode_steps from the reference registrations (envs/__init__.py:7-29)
+register("mjrl_point_mass-v0", PointMassEnv)
+register("mjrl_swimmer-v0", SwimmerEnv)
+register("mjrl_reacher_7dof-v0", Reacher7DOFEnv)
+register("mjrl_peg_insertion-v0", PegEnv)
+
+from mjrl_tpu.envs.gym_env import GymEnv  # noqa: E402  (needs _REGISTRY)

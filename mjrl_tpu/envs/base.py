@@ -1,0 +1,160 @@
+"""Functional environment API.
+
+The reference wraps stateful gym/mujoco-py objects (mjrl/utils/gym_env.py);
+here an environment is a static config object with pure functions:
+
+    state = env.reset(key)                  # EnvState pytree
+    state = env.step(state, action)         # one control step (frame_skip
+                                            #   physics sub-steps inside)
+
+so rollouts become ``vmap(lax.scan(step))`` on-device.  ``EnvState`` carries
+everything the reference's env_infos/state dicts carry (qpos/qvel + movable
+scenery like goal sites) so ``get_env_state``/``set_env_state`` parity holds
+(reference point_mass.py:86-98).
+
+Reward conventions mirrored from the reference:
+- ``reward(obs, act)`` computed from observations so the batched
+  (N, H, obs) ``compute_path_rewards`` variant works identically
+  (point_mass.py:27-51);
+- ``evaluate_success`` operates on rollout info flags
+  (point_mass.py:67-80).
+"""
+
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mjrl_tpu.physics.kinematics import fwd_kinematics
+from mjrl_tpu.physics.model import Model, State
+from mjrl_tpu.physics.step import step_n
+
+
+@dataclass(frozen=True)
+class EnvSpec:
+    """Matches the reference EnvSpec (gym_env.py:9-13)."""
+    observation_dim: int
+    action_dim: int
+    horizon: int
+
+
+class EnvState(struct.PyTreeNode):
+    physics: State         # qpos, qvel
+    scenery: Dict[str, Any]  # movable model overrides (e.g. target pos)
+    obs: Any
+    reward: Any
+    done: Any
+    info: Dict[str, Any]
+    t: Any                 # step counter
+
+
+class MujocoLikeEnv:
+    """Base for physics-backed functional envs.
+
+    Subclasses define: ``model`` (Model), ``frame_skip``, ``horizon``,
+    ``_obs(data, scenery, physics)``, ``_reward(obs, action, prev_state,
+    new_physics)``, ``_info(obs, reward)``, ``_reset_scenery(key)``,
+    ``_reset_qpos_qvel(key)``.
+    """
+
+    model: Model
+    frame_skip: int
+    horizon: int
+
+    # -- model patching ------------------------------------------------
+    def _patched_model(self, scenery):
+        """Apply movable-scenery overrides to the model pytree (cheap array
+        swaps under jit)."""
+        return self.model
+
+    # -- spec ----------------------------------------------------------
+    @property
+    def spec(self):
+        return EnvSpec(self.observation_dim, self.action_dim, self.horizon)
+
+    @property
+    def action_dim(self):
+        return self.model.nu
+
+    @property
+    def act_low(self):
+        return self.model.ctrlrange[:, 0]
+
+    @property
+    def act_high(self):
+        return self.model.ctrlrange[:, 1]
+
+    # -- core API ------------------------------------------------------
+    def reset(self, key) -> EnvState:
+        k1, k2 = jax.random.split(key)
+        scenery = self._reset_scenery(k1)
+        qpos, qvel = self._reset_qpos_qvel(k2)
+        physics = State(qpos=qpos, qvel=qvel)
+        model = self._patched_model(scenery)
+        data = fwd_kinematics(model, qpos)
+        obs = self._obs(data, scenery, physics)
+        reward = jnp.zeros((), obs.dtype)
+        info = self._info(obs, reward)
+        return EnvState(physics=physics, scenery=scenery, obs=obs,
+                        reward=reward, done=jnp.zeros((), bool), info=info,
+                        t=jnp.zeros((), jnp.int32))
+
+    def step(self, state: EnvState, action) -> EnvState:
+        model = self._patched_model(state.scenery)
+        # action clipping to the control range happens inside
+        # actuator_force (parity with gym_env.py:93-103 clip-to-box)
+        physics = step_n(model, state.physics, action, self.frame_skip)
+        data = fwd_kinematics(model, physics.qpos)
+        obs = self._obs(data, state.scenery, physics)
+        reward = self._reward(obs, action, state, physics)
+        info = self._info(obs, reward)
+        return state.replace(physics=physics, obs=obs, reward=reward,
+                             done=self._done(obs, physics), info=info,
+                             t=state.t + 1)
+
+    def _done(self, obs, physics):
+        """mjrl envs never terminate early (point_mass.py step returns
+        done=False)."""
+        return jnp.zeros((), bool)
+
+    def _info(self, obs, reward):
+        return {}
+
+    def _reward(self, obs, action, prev_state, new_physics):
+        raise NotImplementedError
+
+    @property
+    def dt(self):
+        """Control timestep (mujoco_env.py dt = opt.timestep * frame_skip)."""
+        return float(self.model.timestep) * self.frame_skip
+
+    # -- parity helpers ------------------------------------------------
+    def get_env_state(self, state: EnvState):
+        """dict {qp, qv, ...scenery} (reference point_mass.py:86-90)."""
+        d = dict(qp=state.physics.qpos, qv=state.physics.qvel)
+        d.update(state.scenery)
+        return d
+
+    def set_env_state(self, state: EnvState, env_state: dict) -> EnvState:
+        scenery = {k: jnp.asarray(v) for k, v in env_state.items()
+                   if k not in ("qp", "qv")}
+        physics = State(qpos=jnp.asarray(env_state["qp"]),
+                        qvel=jnp.asarray(env_state["qv"]))
+        model = self._patched_model(scenery)
+        data = fwd_kinematics(model, physics.qpos)
+        obs = self._obs(data, scenery, physics)
+        return state.replace(physics=physics, scenery=scenery, obs=obs)
+
+    def compute_path_rewards(self, paths):
+        """Batched reward recomputation on (N, H, obs) observation arrays —
+        default: no r(s,a)=r(s') shift; envs override as the reference does
+        (point_mass.py:43-51 shifts, reacher/peg do not)."""
+        obs = paths["observations"]
+        rewards = self.batched_reward(obs)
+        paths["rewards"] = rewards
+        return paths
+
+    def batched_reward(self, obs):
+        raise NotImplementedError

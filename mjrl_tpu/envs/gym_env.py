@@ -1,0 +1,146 @@
+"""Host-side stateful wrapper with the reference GymEnv API
+(mjrl/utils/gym_env.py).
+
+Scripts / evaluation / pickling use this; jitted training code uses the
+functional env directly.  Supports act_repeat (gym_env.py:36-42, 93-103:
+horizon divided by act_repeat, rewards summed over repeats) and obs_mask
+(gym_env.py:58).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class GymEnv:
+    def __init__(self, env, env_kwargs=None, obs_mask=None, act_repeat=1,
+                 *args, **kwargs):
+        from mjrl_tpu import envs as registry
+        if isinstance(env, str):
+            self.env = registry.make(env, **(env_kwargs or {}))
+            self.env_id = env
+        elif callable(env) and not hasattr(env, "step"):
+            self.env = env(**(env_kwargs or {}))
+            self.env_id = type(self.env).__name__
+        else:
+            self.env = env
+            self.env_id = type(env).__name__
+
+        self.act_repeat = act_repeat
+        assert self.env.horizon % act_repeat == 0
+        self._horizon = self.env.horizon // act_repeat
+        self.obs_mask = np.ones(self.env.observation_dim) if obs_mask is None \
+            else np.asarray(obs_mask)
+        self.seeding = False
+        self._key = jax.random.PRNGKey(123)
+        self._state = None
+        self._jit_step = jax.jit(self.env.step)
+        self._jit_reset = jax.jit(self.env.reset)
+
+    # -- spec ------------------------------------------------------------
+    @property
+    def spec(self):
+        from mjrl_tpu.envs.base import EnvSpec
+        return EnvSpec(self.env.observation_dim, self.env.action_dim,
+                       self._horizon)
+
+    @property
+    def observation_dim(self):
+        return self.env.observation_dim
+
+    @property
+    def action_dim(self):
+        return self.env.action_dim
+
+    @property
+    def horizon(self):
+        return self._horizon
+
+    @property
+    def action_space(self):
+        low = np.asarray(self.env.act_low)
+        high = np.asarray(self.env.act_high)
+        return type("Box", (), {"low": low, "high": high})()
+
+    # -- gym-like API ----------------------------------------------------
+    def set_seed(self, seed=123):
+        self._key = jax.random.PRNGKey(seed)
+
+    def seed(self, seed=None):
+        if seed is not None:
+            self.set_seed(seed)
+
+    def reset(self, seed=None):
+        if seed is not None:
+            self.set_seed(seed)
+        self._key, sub = jax.random.split(self._key)
+        self._state = self._jit_reset(sub)
+        return self.get_obs()
+
+    reset_model = reset
+
+    def step(self, a):
+        a = np.clip(np.asarray(a), np.asarray(self.env.act_low),
+                    np.asarray(self.env.act_high))
+        a = jnp.asarray(a, self._state.obs.dtype)
+        total_r = 0.0
+        for _ in range(self.act_repeat):
+            self._state = self._jit_step(self._state, a)
+            total_r += float(self._state.reward)
+        done = bool(self._state.done)
+        return self.get_obs(), total_r, done, self.get_env_infos()
+
+    def get_obs(self):
+        return np.asarray(self._state.obs) * self.obs_mask
+
+    def get_env_infos(self):
+        info = {k: np.asarray(v) for k, v in self._state.info.items()}
+        info["state"] = self.get_env_state()
+        return info
+
+    # -- state parity (gym_env.py:134-150) -------------------------------
+    def get_env_state(self):
+        return {k: np.asarray(v)
+                for k, v in self.env.get_env_state(self._state).items()}
+
+    def set_env_state(self, state_dict):
+        if self._state is None:
+            self.reset()
+        self._state = self.env.set_env_state(self._state, state_dict)
+
+    def real_env_step(self, bool_val):
+        pass  # no sim/real distinction: the engine is the env
+
+    # -- evaluation (gym_env.py:171-211) ---------------------------------
+    def evaluate_policy(self, policy, num_episodes=5, horizon=None, gamma=1,
+                        visual=False, percentile=[], get_full_dist=False,
+                        mean_action=False, init_env_state=None,
+                        terminate_at_done=True, seed=123):
+        self.set_seed(seed)
+        horizon = self._horizon if horizon is None else horizon
+        ep_returns = np.zeros(num_episodes)
+
+        for ep in range(num_episodes):
+            self.reset()
+            if init_env_state is not None:
+                self.set_env_state(init_env_state)
+            t, done = 0, False
+            while t < horizon and (done is False or not terminate_at_done):
+                o = self.get_obs()
+                a = policy.get_action(o)[1]["evaluation"] if mean_action \
+                    else policy.get_action(o)[0]
+                _, r, done, _ = self.step(a)
+                ep_returns[ep] += (gamma ** t) * r
+                t += 1
+
+        mean_eval, std = np.mean(ep_returns), np.std(ep_returns)
+        min_score, max_score = np.amin(ep_returns), np.amax(ep_returns)
+        base_stats = [mean_eval, std, min_score, max_score]
+        percentile_stats = [np.percentile(ep_returns, p) for p in percentile]
+        full_dist = ep_returns if get_full_dist else None
+        return [base_stats, percentile_stats, full_dist]
+
+    def evaluate_success(self, paths, logger=None):
+        if hasattr(self.env, "evaluate_success"):
+            return self.env.evaluate_success(paths, logger)
+        raise AttributeError(f"{self.env_id} has no evaluate_success")
