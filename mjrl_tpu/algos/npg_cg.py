@@ -1,0 +1,98 @@
+"""Natural Policy Gradient with CG Fisher inversion
+(reference mjrl/algos/npg_cg.py).
+
+The entire update — VPG gradient, Fisher-vector products (jvp-of-grad of
+mean KL + damping), 10-iteration CG, step size alpha = sqrt(|2 delta /
+g.F^-1 g|), parameter update with min_log_std clamp — is ONE jitted
+function on parameter pytrees with zero host transfer (the reference's
+HVP does two full autograd passes through numpy per CG iteration,
+npg_cg.py:62-81).
+
+Options parity: ``normalized_step_size`` / ``kl_dist`` (n_step = 2 kl),
+``const_learn_rate``, ``FIM_invert_args {iters, damping}``,
+``hvp_sample_frac``, ``input_normalization`` EMA folded into the policy's
+input transforms (npg_cg.py:24-56,101-107).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mjrl_tpu.algos import functional as F
+from mjrl_tpu.algos.batch_reinforce import BatchREINFORCE
+
+
+class NPG(BatchREINFORCE):
+    def __init__(self, env, policy, baseline,
+                 normalized_step_size=0.01,
+                 const_learn_rate=None,
+                 FIM_invert_args={"iters": 10, "damping": 1e-4},
+                 hvp_sample_frac=1.0,
+                 seed=123,
+                 save_logs=False,
+                 kl_dist=None,
+                 input_normalization=None,
+                 **kwargs):
+        super().__init__(env, policy, baseline, learn_rate=const_learn_rate,
+                         seed=seed, save_logs=save_logs, **kwargs)
+        self.alpha = const_learn_rate
+        self.n_step_size = normalized_step_size if kl_dist is None \
+            else 2.0 * kl_dist
+        self.FIM_invert_args = dict(FIM_invert_args)
+        self.hvp_subsample = hvp_sample_frac
+        # input normalization EMA weight in (0, 1]; None disables
+        # (npg_cg.py:52-56)
+        self.input_normalization = input_normalization
+        if self.input_normalization is not None:
+            if self.input_normalization > 1 or self.input_normalization <= 0:
+                self.input_normalization = None
+
+    def _update_core(self, params, transforms, obs, act, adv, mask, key):
+        pol = self.policy.config
+        damping = self.FIM_invert_args.get("damping", 1e-4)
+        iters = self.FIM_invert_args.get("iters", 10)
+
+        surr_before = F.cpi_surrogate(pol, params, params, transforms, obs,
+                                      act, adv, mask)
+        g, npg = F.npg_direction(
+            pol, params, transforms, obs, act, adv, mask,
+            damping=damping, cg_iters=iters, subsample_key=key,
+            hvp_sample_frac=self.hvp_subsample)
+        alpha, delta = F.npg_step_size(g, npg, self.n_step_size,
+                                       const_alpha=self.alpha)
+        new_params = F.apply_step(pol, params, npg, alpha)
+        surr_after = F.cpi_surrogate(pol, new_params, params, transforms,
+                                     obs, act, adv, mask)
+        kl = F.mean_kl(pol, new_params, params, transforms, obs, mask)
+        return new_params, dict(alpha=alpha, delta=delta,
+                                surr_before=surr_before,
+                                surr_after=surr_after, kl_dist=kl)
+
+    def _train_from_batch(self, batch, process_fn, update_fn):
+        # input normalization: EMA of batch obs mean/std folded into the
+        # policy input transforms before the update (npg_cg.py:101-107)
+        if self.input_normalization:
+            obs = np.asarray(batch["observations"]).reshape(
+                -1, batch["observations"].shape[-1])
+            mask = np.asarray(batch["mask"]).reshape(-1) > 0
+            data_shift = obs[mask].mean(axis=0)
+            data_scale = obs[mask].std(axis=0)
+            tr = self.policy.transforms
+            w = self.input_normalization
+            new_in_shift = w * np.asarray(tr.in_shift) + (1 - w) * data_shift
+            new_in_scale = w * np.asarray(tr.in_scale) + (1 - w) * data_scale
+            self.policy.set_transformations(
+                in_shift=new_in_shift, in_scale=new_in_scale,
+                out_shift=np.asarray(tr.out_shift),
+                out_scale=np.asarray(tr.out_scale))
+        return super()._train_from_batch(batch, process_fn, update_fn)
+
+    def _log_update_stats(self, stats, t_update):
+        self.logger.log_kv("alpha", float(stats["alpha"]))
+        self.logger.log_kv("delta", float(stats["delta"]))
+        self.logger.log_kv("time_vpg", t_update)
+        self.logger.log_kv("time_npg", t_update)
+        self.logger.log_kv("kl_dist", float(stats["kl_dist"]))
+        self.logger.log_kv("surr_improvement",
+                           float(stats["surr_after"])
+                           - float(stats["surr_before"]))

@@ -1,0 +1,148 @@
+"""Batched on-device rollouts: ``vmap(lax.scan(policy ∘ env.step))``.
+
+This module deletes the reference's entire multiprocessing sampling stack
+(mjrl/samplers/core.py: mp.Pool fork/pickle/join, per-worker seed fan-out,
+timeout-retry fault tolerance at core.py:189-210).  On TPU, thousands of
+environment instances step in lockstep on the batch axis; the policy
+forward is one batched matmul on the MXU per step; there is no process
+boundary, no pickling, and nothing to time out.
+
+Semantics parity:
+- ``eval_mode``: actions = distribution mean (the reference's
+  agent_info['evaluation'] convention, samplers/core.py:40-46).
+- seed fan-out ``base_seed + i`` per trajectory (core.py:52-57) becomes
+  ``jax.random.split(key, num_traj)`` — clean key splitting.
+- path dict fields (observations, actions, rewards, agent_infos
+  {mean, log_std}, env_infos, terminated) as in core.py:85-92, but batched
+  and fixed-shape: (num_traj, horizon, ...) with a validity ``mask`` for
+  early-terminating envs (mask stays 1 everywhere for the mjrl suite,
+  whose envs never terminate early).
+- ``sample_mode='samples'``: enough trajectories to reach ``num_samples``
+  steps (core.py:151-186 semantics with fixed-shape batching).
+
+The returned ``paths`` is a plain dict pytree, jit-transparent; use
+``paths_to_list`` at the host boundary for the reference's list-of-dicts
+format.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rollout_batch(env, policy, params, transforms, key, num_traj,
+                  horizon=None, eval_mode=False):
+    """Collect ``num_traj`` fixed-length paths fully on device.
+
+    env: functional env; policy: GaussianMLP config; params/transforms:
+    policy pytrees; key: PRNGKey.
+
+    Returns a dict pytree with leaves of shape (num_traj, T, ...).
+    """
+    T = env.horizon if horizon is None else min(int(horizon), env.horizon)
+
+    def one_path(k):
+        k_reset, k_scan = jax.random.split(k)
+        s0 = env.reset(k_reset)
+
+        def step_fn(carry, kt):
+            s, alive = carry
+            mean, log_std = policy.dist_info(params, transforms, s.obs)
+            if eval_mode:
+                action = mean
+            else:
+                noise = jax.random.normal(kt, mean.shape, mean.dtype)
+                action = mean + jnp.exp(log_std) * noise
+            ns = env.step(s, action)
+            out = dict(
+                observations=s.obs,
+                actions=action,
+                rewards=ns.reward * alive,
+                agent_mean=mean,
+                agent_log_std=jnp.broadcast_to(log_std, mean.shape),
+                mask=alive,
+                env_infos={k2: v for k2, v in ns.info.items()},
+            )
+            next_alive = alive * (1.0 - ns.done.astype(alive.dtype))
+            return (ns, next_alive), out
+
+        step_keys = jax.random.split(k_scan, T)
+        (last, alive), outs = jax.lax.scan(
+            step_fn, (s0, jnp.ones((), s0.obs.dtype)), step_keys)
+        # terminated = episode ended by env before the horizon ran out
+        outs["terminated"] = (alive == 0.0)
+        outs["last_obs"] = last.obs
+        return outs
+
+    keys = jax.random.split(key, num_traj)
+    return jax.vmap(one_path)(keys)
+
+
+def num_traj_for_samples(num_samples, horizon):
+    """'samples' mode accounting: enough fixed-length paths to cover
+    num_samples steps (core.py:151-186)."""
+    return max(1, math.ceil(num_samples / horizon))
+
+
+def sample_paths(num_traj, env, policy, eval_mode=False, horizon=1e6,
+                 base_seed=None, num_cpu=1, key=None, **kwargs):
+    """Host-facing parity API (samplers/core.py:99-111) -> list of path
+    dicts.  ``num_cpu`` is accepted and ignored — batching replaces
+    process parallelism."""
+    if key is None:
+        key = jax.random.PRNGKey(0 if base_seed is None else int(base_seed))
+    params, transforms, cfg = _policy_parts(policy)
+    T = env.horizon if horizon is None or horizon >= 1e6 else int(horizon)
+    batch = jax.jit(partial(rollout_batch, env, cfg, num_traj=int(num_traj),
+                            horizon=T, eval_mode=eval_mode))(
+        params, transforms, key)
+    return paths_to_list(batch)
+
+
+def sample_data_batch(num_samples, env, policy, eval_mode=False, horizon=1e6,
+                      base_seed=None, num_cpu=1, key=None, paths_per_call=None,
+                      **kwargs):
+    """'samples' mode parity API (samplers/core.py:151-161)."""
+    T = env.horizon if horizon is None or horizon >= 1e6 else int(horizon)
+    n = num_traj_for_samples(int(num_samples), T)
+    return sample_paths(n, env, policy, eval_mode, T, base_seed, num_cpu,
+                        key=key)
+
+
+def _policy_parts(policy):
+    """Accept either a stateful Policy wrapper or a (cfg, params,
+    transforms) tuple."""
+    from mjrl_tpu.models.policies import Policy
+    if isinstance(policy, Policy):
+        return policy.params, policy.transforms, policy.config
+    cfg, params, transforms = policy
+    return params, transforms, cfg
+
+
+def paths_to_list(batch):
+    """Batched paths pytree -> reference-format list of per-path dicts
+    (numpy), truncated to each path's valid length."""
+    batch = jax.tree_util.tree_map(np.asarray, batch)
+    n = batch["rewards"].shape[0]
+    out = []
+    for i in range(n):
+        mask = batch["mask"][i]
+        T = int(mask.sum())
+        agent_infos = {
+            "mean": batch["agent_mean"][i][:T],
+            "log_std": batch["agent_log_std"][i][0],
+            "evaluation": batch["agent_mean"][i][:T],
+        }
+        env_infos = {k: v[i][:T] for k, v in batch["env_infos"].items()}
+        out.append(dict(
+            observations=batch["observations"][i][:T],
+            actions=batch["actions"][i][:T],
+            rewards=batch["rewards"][i][:T],
+            agent_infos=agent_infos,
+            env_infos=env_infos,
+            terminated=bool(batch["terminated"][i]),
+        ))
+    return out

@@ -1,0 +1,121 @@
+"""Algorithm tests: rollout sampler, REINFORCE/NPG updates, and a
+miniature end-to-end point_mass learning run (the reference's de-facto
+correctness benchmark, tests/point_mass_test.py scaled down)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mjrl_tpu.algos.batch_reinforce import BatchREINFORCE
+from mjrl_tpu.algos.npg_cg import NPG
+from mjrl_tpu.baselines import LinearBaseline, MLPBaseline, QuadraticBaseline
+from mjrl_tpu.envs import GymEnv
+from mjrl_tpu.models import GaussianMLP, Policy
+from mjrl_tpu.samplers import rollout_batch, sample_paths
+
+
+@pytest.fixture(scope="module")
+def pm_env():
+    return GymEnv("mjrl_point_mass-v0")
+
+
+def test_rollout_batch_shapes(pm_env):
+    pol = Policy(GaussianMLP(6, 2, hidden_sizes=(16,)), seed=0)
+    batch = jax.jit(
+        lambda p, tr, k: rollout_batch(pm_env.env, pol.config, p, tr, k,
+                                       num_traj=4, horizon=10)
+    )(pol.params, pol.transforms, jax.random.PRNGKey(0))
+    assert batch["observations"].shape == (4, 10, 6)
+    assert batch["actions"].shape == (4, 10, 2)
+    assert batch["rewards"].shape == (4, 10)
+    assert batch["mask"].shape == (4, 10)
+    assert np.all(np.asarray(batch["mask"]) == 1.0)  # no early termination
+    assert batch["terminated"].shape == (4,)
+    assert "solved" in batch["env_infos"]
+    # distinct env instances -> distinct trajectories
+    o = np.asarray(batch["observations"])
+    assert not np.allclose(o[0], o[1])
+
+
+def test_rollout_eval_mode_deterministic(pm_env):
+    pol = Policy(GaussianMLP(6, 2, hidden_sizes=(16,)), seed=0)
+    f = jax.jit(lambda p, tr, k: rollout_batch(
+        pm_env.env, pol.config, p, tr, k, num_traj=2, horizon=5,
+        eval_mode=True))
+    b1 = f(pol.params, pol.transforms, jax.random.PRNGKey(0))
+    # eval actions equal the policy mean
+    np.testing.assert_allclose(np.asarray(b1["actions"]),
+                               np.asarray(b1["agent_mean"]), atol=1e-6)
+
+
+def test_sample_paths_list_format(pm_env):
+    pol = Policy(GaussianMLP(6, 2, hidden_sizes=(16,)), seed=0)
+    paths = sample_paths(3, pm_env.env, pol, base_seed=5, horizon=8)
+    assert len(paths) == 3
+    p = paths[0]
+    assert p["observations"].shape == (8, 6)
+    assert p["actions"].shape == (8, 2)
+    assert p["rewards"].shape == (8,)
+    assert set(p["agent_infos"]) == {"mean", "log_std", "evaluation"}
+    assert p["terminated"] is False
+
+
+def test_reinforce_update_improves_surrogate(pm_env):
+    pol = Policy(GaussianMLP(6, 2, hidden_sizes=(16,)), seed=3)
+    bl = LinearBaseline(pm_env.spec)
+    agent = BatchREINFORCE(pm_env, pol, bl, learn_rate=0.05, seed=1,
+                           save_logs=True)
+    stats = agent.train_step(N=8, gamma=0.95, gae_lambda=0.97)
+    assert len(stats) == 5
+    log = agent.logger.get_current_log()
+    assert log["surr_improvement"] > -1e-4  # tiny step should not hurt
+    assert "time_sampling" in log and "time_VF" in log
+
+
+def test_npg_update_respects_kl(pm_env):
+    pol = Policy(GaussianMLP(6, 2, hidden_sizes=(16,)), seed=3)
+    bl = LinearBaseline(pm_env.spec)
+    agent = NPG(pm_env, pol, bl, normalized_step_size=0.05, seed=1,
+                save_logs=True)
+    agent.train_step(N=10, gamma=0.95, gae_lambda=0.97)
+    log = agent.logger.get_current_log()
+    # with step size delta, KL(old, new) ~ delta/2 (within CG tolerance)
+    assert log["kl_dist"] < 0.2
+    assert log["surr_improvement"] > 0.0
+    assert log["success_rate"] >= 0.0
+
+
+def test_npg_improves_point_mass(pm_env):
+    """Miniature version of the reference smoke benchmark
+    (tests/point_mass_test.py: NPG solves point_mass)."""
+    pol = Policy(GaussianMLP(6, 2, hidden_sizes=(32, 32)), seed=500)
+    bl = MLPBaseline(pm_env.spec, learn_rate=1e-3, epochs=2, batch_size=64)
+    agent = NPG(pm_env, pol, bl, normalized_step_size=0.1, seed=500,
+                save_logs=True)
+    scores = []
+    for _ in range(12):
+        stats = agent.train_step(N=20, gamma=0.95, gae_lambda=0.97)
+        scores.append(stats[0])
+    # significant improvement over the random-policy start
+    assert np.mean(scores[-3:]) > np.mean(scores[:3]) + 5.0, scores
+
+
+def test_npg_input_normalization(pm_env):
+    pol = Policy(GaussianMLP(6, 2, hidden_sizes=(16,)), seed=3)
+    bl = QuadraticBaseline(pm_env.spec)
+    agent = NPG(pm_env, pol, bl, normalized_step_size=0.05, seed=1,
+                input_normalization=0.9)
+    agent.train_step(N=6, gamma=0.95, gae_lambda=0.97)
+    # transforms moved away from identity
+    assert not np.allclose(np.asarray(pol.transforms.in_shift), 0.0)
+
+
+def test_train_from_paths_api(pm_env):
+    pol = Policy(GaussianMLP(6, 2, hidden_sizes=(16,)), seed=3)
+    bl = LinearBaseline(pm_env.spec)
+    agent = NPG(pm_env, pol, bl, normalized_step_size=0.05, seed=1)
+    paths = sample_paths(4, pm_env.env, pol, base_seed=0)
+    stats = agent.train_from_paths(paths)
+    assert len(stats) == 4
+    assert np.isfinite(stats[0])
