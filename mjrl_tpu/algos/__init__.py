@@ -1,0 +1,6 @@
+from mjrl_tpu.algos.batch_reinforce import BatchREINFORCE
+from mjrl_tpu.algos.npg_cg import NPG
+from mjrl_tpu.algos.trpo import TRPO
+from mjrl_tpu.algos.ppo_clip import PPO
+from mjrl_tpu.algos.behavior_cloning import BC
+from mjrl_tpu.algos.dapg import DAPG

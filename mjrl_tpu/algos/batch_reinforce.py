@@ -52,6 +52,9 @@ class BatchREINFORCE:
         if save_logs:
             self.logger = DataLog()
         self._cache = {}
+        # subclasses with a persistent optimizer (PPO) set this True and
+        # maintain self.opt_state; _update_core then takes/returns it
+        self._has_opt_state = False
 
     # -- plumbing --------------------------------------------------------
     @property
@@ -96,7 +99,7 @@ class BatchREINFORCE:
             return returns, adv_flat, path_returns
 
         process_fn = jax.jit(process)
-        update_fn = jax.jit(self._update_core)
+        update_fn = jax.jit(self._update_core)  # may take/return opt state
         if getattr(self.baseline, "needs_key", False):
             fit_fn = jax.jit(lambda s, o, r, m, k: bl.fit(s, o, r, m, k))
         else:
@@ -205,9 +208,14 @@ class BatchREINFORCE:
         mask = batch["mask"].reshape(-1)
 
         k_up = self._next_key()
-        new_params, stats = update_fn(self.policy.params,
-                                      self.policy.transforms, obs, act,
-                                      adv_flat, mask, k_up)
+        if self._has_opt_state:
+            new_params, stats, self.opt_state = update_fn(
+                self.policy.params, self.policy.transforms, obs, act,
+                adv_flat, mask, k_up, self.opt_state)
+        else:
+            new_params, stats = update_fn(self.policy.params,
+                                          self.policy.transforms, obs, act,
+                                          adv_flat, mask, k_up)
         t_update = timer.time() - ts
 
         # install new params (new and old copies, clamped)
