@@ -1,0 +1,59 @@
+"""Headline benchmark: batched environment steps/sec on one chip.
+
+Rolls a 64-64 gaussian MLP policy through B parallel swimmer environments
+(the heaviest mjrl env: nv=7, 6-body kinematic chain, viscous+density
+fluid model, 5 Euler sub-steps per control step) with vmap(lax.scan) and
+reports *control* steps per second (1 control step = 1 policy forward + 5
+physics sub-steps, matching the reference's sampler throughput unit —
+mjrl/samplers/core.py:69-83 with frame_skip=5).
+
+Baseline: the driver-set rebuild target of 1,000,000 steps/sec/chip
+(BASELINE.md).  Prints one JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 4096
+STEPS = 100
+BASELINE_STEPS_PER_SEC = 1_000_000.0
+
+
+def main():
+    from mjrl_tpu.envs import SwimmerEnv
+    from mjrl_tpu.models import GaussianMLP
+    from mjrl_tpu.samplers import rollout_batch
+
+    env = SwimmerEnv()
+    pol = GaussianMLP(env.observation_dim, env.action_dim,
+                      hidden_sizes=(64, 64))
+    params, transforms = pol.init(jax.random.PRNGKey(0))
+
+    roll = jax.jit(lambda p, tr, k: rollout_batch(
+        env, pol, p, tr, k, num_traj=BATCH, horizon=STEPS))
+
+    # compile + warmup
+    out = roll(params, transforms, jax.random.PRNGKey(1))
+    out["rewards"].block_until_ready()
+
+    n_rep = 3
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        out = roll(params, transforms, jax.random.PRNGKey(2 + i))
+    out["rewards"].block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+
+    steps_per_sec = BATCH * STEPS / dt
+    print(json.dumps({
+        "metric": "swimmer_env_steps_per_sec",
+        "value": round(steps_per_sec),
+        "unit": "control_steps/s/chip",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,9 @@ class BatchREINFORCE:
         # subclasses with a persistent optimizer (PPO) set this True and
         # maintain self.opt_state; _update_core then takes/returns it
         self._has_opt_state = False
+        # optional jax.sharding.Mesh: shards the rollout batch axis across
+        # devices; GSPMD inserts the update's cross-chip reductions
+        self.mesh = kwargs.get("mesh", None)
 
     # -- plumbing --------------------------------------------------------
     @property
@@ -80,7 +83,8 @@ class BatchREINFORCE:
         bl = self.baseline.cfg
 
         rollout_fn = jax.jit(partial(rollout_batch, fenv, pol,
-                                     num_traj=num_traj, horizon=T))
+                                     num_traj=num_traj, horizon=T,
+                                     mesh=self.mesh))
 
         def process(bl_state, batch):
             rewards = batch["rewards"]

@@ -1,0 +1,51 @@
+"""Small-matrix linear algebra tuned for TPU.
+
+The joint-space solves in the physics engine are tiny (nv <= ~20) but run
+once per sub-step per environment across huge vmap batches.  XLA's batched
+LU (``jnp.linalg.solve``) uses pivoting control flow that is ~7x slower on
+TPU than a fully unrolled Cholesky, which compiles to straight-line VPU
+code (measured: 4096x7x7 solve, 8.2 ms LU vs 1.2 ms unrolled).
+
+``spd_solve`` dispatches: unrolled Cholesky for static n <= MAX_UNROLL,
+stock solve otherwise.  Mass matrices are SPD by construction (+armature).
+"""
+
+import jax.numpy as jnp
+
+MAX_UNROLL = 20
+
+
+def chol_solve_unrolled(a, b):
+    """Solve a x = b for SPD ``a`` (..., n, n), b (..., n) with a fully
+    unrolled Cholesky + triangular solves (static small n)."""
+    n = a.shape[-1]
+    low = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = a[..., i, j]
+            for k in range(j):
+                s = s - low[i][k] * low[j][k]
+            if i == j:
+                low[i][j] = jnp.sqrt(s)
+            else:
+                low[i][j] = s / low[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - low[i][k] * y[k]
+        y[i] = s / low[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - low[k][i] * x[k]
+        x[i] = s / low[i][i]
+    return jnp.stack(x, axis=-1)
+
+
+def spd_solve(a, b):
+    """Solve SPD system; b is (..., n)."""
+    if a.shape[-1] <= MAX_UNROLL:
+        return chol_solve_unrolled(a, b)
+    return jnp.linalg.solve(a, b[..., None])[..., 0]

@@ -56,7 +56,7 @@ def _capsule_plane(xpos, xmat, r, half, p0, n):
 
 
 def _sphere_box(c, r, bpos, bmat, bsize):
-    cl = bmat.T @ (c - bpos)
+    cl = pm.mat_t_vec(bmat, c - bpos)
     clamped = jnp.clip(cl, -bsize, bsize)
     delta = cl - clamped
     dist = jnp.linalg.norm(delta) + 1e-12
@@ -224,6 +224,6 @@ def contact_qfrc(model: Model, data, cdof, cvel, qvel, m_diag_mean):
     f_world = fn[:, None] * normals - ft_mag[:, None] * vt / vt_norm[:, None]
 
     # spatial force at world origin applied to body2 (+) and body1 (-)
-    sf = jnp.concatenate([jnp.cross(points, f_world), f_world], axis=-1)
+    sf = jnp.concatenate([pm.cross(points, f_world), f_world], axis=-1)
     coeff = mask[b2] - mask[b1]  # (C, nv); world rows are zero masks
     return jnp.einsum("cd,dk,ck->d", coeff, cdof, sf)

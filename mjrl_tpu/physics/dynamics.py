@@ -4,14 +4,17 @@ actuation — in world-origin spatial coordinates.
 Replaces MuJoCo's mj_forward smooth pipeline (the reference's external C
 engine).  TPU-first design notes:
 
-- the mass matrix is assembled densely as M = sum_b J_b^T I_b J_b over a
-  static per-body ancestor-dof mask — batched 6xnv matmuls instead of the
-  sequential composite-rigid-body recursion; everything vmaps cleanly over
-  thousands of env instances and maps onto the MXU.
-- bias forces use the velocity-product (RNEA with qacc = 0) form:
-  C = sum_b J_b^T (I_b a_vp_b + v_b x* I_b v_b) - J_b^T f_ext_b.
-- nv <= ~15 for supported models, so the final solve is a tiny dense
-  Cholesky — negligible next to the batched FK math.
+- everything is straight-line unrolled vector math (pm.mat_vec / cross /
+  rot_diag_rot_t) with no dot_general in the chain, so the whole dynamics
+  evaluation fuses into a few elementwise XLA kernels over the env batch;
+- spatial inertias are never materialized as 6x6 matrices: I_b v is
+  applied directly from (mass, world inertia, CoM) — p = m (v + w x c),
+  L0 = I_w w + c x p;
+- the mass matrix is assembled as M[d, e] = sum_b mask[b,d] mask[b,e]
+  S_d . (I_b S_e) over a static ancestor-dof mask — dense, vmap-friendly,
+  no sequential composite-rigid-body recursion;
+- nv <= ~20 for supported models, so the final solve is the unrolled
+  Cholesky in ops.linalg.
 
 Passive forces: joint spring/damping (dof_damping used implicitly by the
 Euler integrator, matching MuJoCo's semi-implicit treatment), soft joint
@@ -24,7 +27,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from mjrl_tpu.physics import math as pm
-from mjrl_tpu.physics.kinematics import Data, fwd_kinematics
+from mjrl_tpu.physics.kinematics import Data
 from mjrl_tpu.physics.model import HINGE, SLIDE, Model
 
 
@@ -57,7 +60,7 @@ def compute_cdof(model: Model, data: Data):
     for j in range(model.njnt):
         a = data.xaxis[j]
         if model.jnt_type[j] == HINGE:
-            cols.append(jnp.concatenate([a, jnp.cross(data.xanchor[j], a)]))
+            cols.append(jnp.concatenate([a, pm.cross(data.xanchor[j], a)]))
         elif model.jnt_type[j] == SLIDE:
             cols.append(jnp.concatenate([jnp.zeros_like(a), a]))
         else:
@@ -89,55 +92,76 @@ def compute_velocities(model: Model, data: Data, cdof, qvel):
 
 
 # ---------------------------------------------------------------------------
-# Spatial inertias, mass matrix, bias
+# Spatial inertia application (no 6x6 materialization)
 # ---------------------------------------------------------------------------
 
+def _inertia_ctx(model: Model, data: Data):
+    """(mass (nbody,), I_world (nbody, 3, 3), com (nbody, 3))."""
+    i_world = pm.rot_diag_rot_t(data.ximat, model.body_inertia)
+    return model.body_mass, i_world, data.xipos
+
+
+def _apply_inertia(mass, i_world, com, motion):
+    """h = I motion for world-origin spatial motion vectors.
+
+    motion (..., 6) = (omega, v0); returns (..., 6) = (L0, p):
+    p = m (v0 + w x c);  L0 = I_w w + c x p.
+    Shapes broadcast (mass (...,), i_world (..., 3, 3), com (..., 3)).
+    """
+    w, v = motion[..., :3], motion[..., 3:]
+    p = mass[..., None] * (v + pm.cross(w, com))
+    l0 = pm.mat_vec(i_world, w) + pm.cross(com, p)
+    return jnp.concatenate([l0, p], axis=-1)
+
+
 def body_spatial_inertias(model: Model, data: Data):
-    """(nbody, 6, 6) world-origin spatial inertias."""
-    # rotational inertia about CoM in world axes
-    i_world = jnp.einsum("bij,bj,bkj->bik", data.ximat, model.body_inertia,
-                         data.ximat)
-    return jax_vmap_spatial(model.body_mass, i_world, data.xipos)
-
-
-def jax_vmap_spatial(mass, i_world, com):
+    """(nbody, 6, 6) world-origin spatial inertias (diagnostic/compat
+    path; the hot path applies inertias directly)."""
     import jax
+    mass, i_world, com = _inertia_ctx(model, data)
     return jax.vmap(pm.spatial_inertia)(mass, i_world, com)
 
+
+# ---------------------------------------------------------------------------
+# Mass matrix and bias
+# ---------------------------------------------------------------------------
 
 def mass_matrix(model: Model, data: Data, cdof):
     """Dense joint-space inertia M (nv, nv) including armature."""
     mask = jnp.asarray(ancestor_mask(model), cdof.dtype)  # (nbody, nv)
-    ib = body_spatial_inertias(model, data)               # (nbody, 6, 6)
-    # J_b = cdof^T masked: (nbody, 6, nv)
-    jb = cdof.T[None, :, :] * mask[:, None, :]
-    m = jnp.einsum("bin,bij,bjm->nm", jb, ib, jb)
-    m = m + jnp.diag(model.dof_armature)
-    return m
+    mass, i_world, com = _inertia_ctx(model, data)
+    # U[b, d] = I_b S_d  — broadcast (nbody, 1, ...) x (1, nv, 6)
+    u = _apply_inertia(mass[:, None], i_world[:, None], com[:, None],
+                       cdof[None, :, :])                  # (nbody, nv, 6)
+    # T[b, d, e] = S_d . U[b, e]  (unrolled over the 6 spatial components)
+    t = sum(cdof[None, :, None, k] * u[:, None, :, k] for k in range(6))
+    m = jnp.sum(mask[:, :, None] * mask[:, None, :] * t, axis=0)
+    return m + jnp.diag(model.dof_armature)
 
 
 def bias_force(model: Model, data: Data, cdof, cvel, cdofdot, qvel):
     """qfrc_bias (nv,): Coriolis/centrifugal + gravity, such that
     M qacc + qfrc_bias = qfrc_applied."""
     mask = jnp.asarray(ancestor_mask(model), cdof.dtype)
-    ib = body_spatial_inertias(model, data)
+    mass, i_world, com = _inertia_ctx(model, data)
     # velocity-product acceleration per body
-    avp = jnp.einsum("bd,dk,d->bk", mask, cdofdot, qvel)  # (nbody, 6)
-    # f_b = I a_vp + v x* (I v)  - f_gravity
-    iv = jnp.einsum("bij,bj->bi", ib, cvel)
-    f = jnp.einsum("bij,bj->bi", ib, avp) + pm.force_cross(cvel, iv)
+    avp = jnp.sum(mask[:, :, None] * cdofdot[None, :, :]
+                  * qvel[None, :, None], axis=1)          # (nbody, 6)
+    iv = _apply_inertia(mass, i_world, com, cvel)
+    f = _apply_inertia(mass, i_world, com, avp) + pm.force_cross(cvel, iv)
     # gravity as external force at CoM: F = (c x m g, m g)
-    mg = model.body_mass[:, None] * model.gravity[None, :]
-    f_grav = jnp.concatenate([jnp.cross(data.xipos, mg), mg], axis=-1)
+    mg = mass[:, None] * model.gravity[None, :]
+    f_grav = jnp.concatenate([pm.cross(data.xipos, mg), mg], axis=-1)
     f = f - f_grav
     # project: C_d = sum_b mask[b,d] cdof_d . f_b
-    return jnp.einsum("bd,dk,bk->d", mask, cdof, f)
+    return project_body_forces(model, cdof, f)
 
 
 def project_body_forces(model: Model, cdof, forces):
     """Map per-body world-origin spatial forces (nbody, 6) to qfrc (nv,)."""
     mask = jnp.asarray(ancestor_mask(model), cdof.dtype)
-    return jnp.einsum("bd,dk,bk->d", mask, cdof, forces)
+    t = sum(cdof[None, :, k] * forces[:, None, k] for k in range(6))
+    return jnp.sum(mask * t, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -194,10 +218,10 @@ def fluid_force(model: Model, data: Data, cvel):
     box = jnp.stack([lx, ly, lz], axis=-1)  # (nbody, 3) semi-axes
 
     # body 6D velocity at CoM in the inertial frame
-    w_world = cvel[:, :3]
+    w_world = cvel[..., :3]
     v_world = pm.point_velocity(cvel, data.xipos)
-    w_l = jnp.einsum("bji,bj->bi", data.ximat, w_world)
-    v_l = jnp.einsum("bji,bj->bi", data.ximat, v_world)
+    w_l = pm.mat_t_vec(data.ximat, w_world)
+    v_l = pm.mat_t_vec(data.ximat, v_world)
 
     # viscous drag (equivalent sphere, diameter = mean FULL box size)
     diam = jnp.sum(box, axis=-1) * 2.0 / 3.0
@@ -222,9 +246,9 @@ def fluid_force(model: Model, data: Data, cvel):
     f_l = (f_visc + f_dens) * has_mass
 
     # back to world, as spatial force at origin: n0 = tau + c x f
-    t_w = jnp.einsum("bij,bj->bi", data.ximat, t_l)
-    f_w = jnp.einsum("bij,bj->bi", data.ximat, f_l)
-    n0 = t_w + jnp.cross(data.xipos, f_w)
+    t_w = pm.mat_vec(data.ximat, t_l)
+    f_w = pm.mat_vec(data.ximat, f_l)
+    n0 = t_w + pm.cross(data.xipos, f_w)
     return jnp.concatenate([n0, f_w], axis=-1)  # (nbody, 6)
 
 

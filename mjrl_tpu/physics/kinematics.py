@@ -9,8 +9,9 @@ MuJoCo-compatible semantics (validated against golden mjData):
   its axis by (qpos - ref).
 
 The body loop is a Python loop over static topology — it unrolls at trace
-time (nbody <= ~20 for all supported models) into pure vectorized math, so
-the whole FK is fusable XLA code with no dynamic control flow.
+time (nbody <= ~20 for all supported models) into straight-line unrolled
+3x3 math (pm.mat_mul / mat_vec, no dot_general) so the whole FK fuses
+into one elementwise XLA kernel over the env batch.
 """
 
 from typing import Any
@@ -36,12 +37,18 @@ class Data(struct.PyTreeNode):
 
 
 def _axis_angle_mat(axis, angle):
-    """Rotation matrix about unit ``axis`` by ``angle`` (Rodrigues)."""
-    k = pm.skew(axis)
+    """Rotation matrix about unit ``axis`` by ``angle`` (Rodrigues),
+    unrolled."""
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
     s = jnp.sin(angle)
     c = jnp.cos(angle)
-    eye = jnp.eye(3, dtype=axis.dtype)
-    return eye + s * k + (1.0 - c) * (k @ k)
+    ic = 1.0 - c
+    rows = [
+        c + x * x * ic, x * y * ic - z * s, x * z * ic + y * s,
+        y * x * ic + z * s, c + y * y * ic, y * z * ic - x * s,
+        z * x * ic - y * s, z * y * ic + x * s, c + z * z * ic,
+    ]
+    return jnp.stack(rows, axis=-1).reshape(axis.shape[:-1] + (3, 3))
 
 
 def fwd_kinematics(model: Model, qpos) -> Data:
@@ -53,11 +60,11 @@ def fwd_kinematics(model: Model, qpos) -> Data:
 
     for b in range(1, model.nbody):
         p = model.body_parent[b]
-        mat = xmat[p] @ pm.quat_to_mat(model.body_quat[b])
-        pos = xpos[p] + xmat[p] @ model.body_pos[b]
+        mat = pm.mat_mul(xmat[p], pm.quat_to_mat(model.body_quat[b]))
+        pos = xpos[p] + pm.mat_vec(xmat[p], model.body_pos[b])
         for j in model.body_jnts[b]:
-            anchor = pos + mat @ model.jnt_pos[j]
-            axis_w = mat @ model.jnt_axis[j]
+            anchor = pos + pm.mat_vec(mat, model.jnt_pos[j])
+            axis_w = pm.mat_vec(mat, model.jnt_axis[j])
             xanchor[j] = anchor
             xaxis[j] = axis_w
             q = qpos[j] - model.jnt_ref[j]
@@ -66,8 +73,8 @@ def fwd_kinematics(model: Model, qpos) -> Data:
             elif model.jnt_type[j] == HINGE:
                 # local right-multiplication: axis fixed in pre-joint frame
                 rot = _axis_angle_mat(axis_w, q)
-                mat = rot @ mat
-                pos = anchor - mat @ model.jnt_pos[j]
+                mat = pm.mat_mul(rot, mat)
+                pos = anchor - pm.mat_vec(mat, model.jnt_pos[j])
             else:
                 raise NotImplementedError(
                     f"joint type {model.jnt_type[j]} not supported")
@@ -78,23 +85,19 @@ def fwd_kinematics(model: Model, qpos) -> Data:
     xmat = jnp.stack(xmat)
 
     # CoM / inertial frames
-    xipos = xpos + jnp.einsum("bij,bj->bi", xmat, model.body_ipos)
-    ximat = jnp.einsum("bij,bjk->bik", xmat, pm.quat_to_mat(model.body_iquat))
+    xipos = xpos + pm.mat_vec(xmat, model.body_ipos)
+    ximat = pm.mat_mul(xmat, pm.quat_to_mat(model.body_iquat))
 
     # sites and geoms
     if model.nsite:
-        sb = list(model.site_body)
-        site_xpos = (xpos[jnp.asarray(sb)] +
-                     jnp.einsum("sij,sj->si", xmat[jnp.asarray(sb)],
-                                model.site_pos))
+        sb = jnp.asarray(list(model.site_body))
+        site_xpos = xpos[sb] + pm.mat_vec(xmat[sb], model.site_pos)
     else:
         site_xpos = jnp.zeros((0, 3), dtype)
     if model.ngeom:
         gb = jnp.asarray(list(model.geom_body))
-        geom_xpos = (xpos[gb] +
-                     jnp.einsum("gij,gj->gi", xmat[gb], model.geom_pos))
-        geom_xmat = jnp.einsum("gij,gjk->gik", xmat[gb],
-                               pm.quat_to_mat(model.geom_quat))
+        geom_xpos = xpos[gb] + pm.mat_vec(xmat[gb], model.geom_pos)
+        geom_xmat = pm.mat_mul(xmat[gb], pm.quat_to_mat(model.geom_quat))
     else:
         geom_xpos = jnp.zeros((0, 3), dtype)
         geom_xmat = jnp.zeros((0, 3, 3), dtype)

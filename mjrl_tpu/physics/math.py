@@ -68,6 +68,62 @@ def skew(v):
 
 
 # ---------------------------------------------------------------------------
+# Unrolled small-matrix primitives.
+#
+# XLA:TPU cannot fuse elementwise chains through dot_general, so chained
+# batched 3x3 einsums serialize into separate tiny-matmul kernels (~4x
+# slower than straight-line VPU code; measured with 10-deep chains at
+# batch 4096).  These unrolled forms keep the whole FK/dynamics chain in
+# one fused elementwise kernel.
+# ---------------------------------------------------------------------------
+
+def mat_mul(a, b):
+    """(..., 3, 3) @ (..., 3, 3), unrolled."""
+    out = []
+    for i in range(3):
+        for j in range(3):
+            out.append(a[..., i, 0] * b[..., 0, j]
+                       + a[..., i, 1] * b[..., 1, j]
+                       + a[..., i, 2] * b[..., 2, j])
+    return jnp.stack(out, axis=-1).reshape(a.shape[:-2] + (3, 3))
+
+
+def mat_vec(a, v):
+    """(..., 3, 3) @ (..., 3), unrolled."""
+    return jnp.stack(
+        [a[..., i, 0] * v[..., 0] + a[..., i, 1] * v[..., 1]
+         + a[..., i, 2] * v[..., 2] for i in range(3)], axis=-1)
+
+
+def mat_t_vec(a, v):
+    """(..., 3, 3)^T @ (..., 3), unrolled."""
+    return jnp.stack(
+        [a[..., 0, i] * v[..., 0] + a[..., 1, i] * v[..., 1]
+         + a[..., 2, i] * v[..., 2] for i in range(3)], axis=-1)
+
+
+def rot_diag_rot_t(r, d):
+    """R diag(d) R^T for (..., 3, 3) rotations and (..., 3) diagonals."""
+    out = []
+    for i in range(3):
+        for j in range(3):
+            out.append(r[..., i, 0] * d[..., 0] * r[..., j, 0]
+                       + r[..., i, 1] * d[..., 1] * r[..., j, 1]
+                       + r[..., i, 2] * d[..., 2] * r[..., j, 2])
+    return jnp.stack(out, axis=-1).reshape(r.shape[:-2] + (3, 3))
+
+
+def cross(a, b):
+    """(..., 3) x (..., 3), unrolled (jnp.cross lowers similarly but this
+    keeps dtype/layout uniform with the other helpers)."""
+    return jnp.stack([
+        a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
+        a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
+        a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0],
+    ], axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # Spatial algebra (6-vectors at the world origin)
 # ---------------------------------------------------------------------------
 
@@ -76,8 +132,8 @@ def motion_cross(v, m):
     w, l = v[..., :3], v[..., 3:]
     mw, ml = m[..., :3], m[..., 3:]
     return jnp.concatenate([
-        jnp.cross(w, mw),
-        jnp.cross(w, ml) + jnp.cross(l, mw),
+        cross(w, mw),
+        cross(w, ml) + cross(l, mw),
     ], axis=-1)
 
 
@@ -86,8 +142,8 @@ def force_cross(v, f):
     w, l = v[..., :3], v[..., 3:]
     ft, ff = f[..., :3], f[..., 3:]
     return jnp.concatenate([
-        jnp.cross(w, ft) + jnp.cross(l, ff),
-        jnp.cross(w, ff),
+        cross(w, ft) + cross(l, ff),
+        cross(w, ff),
     ], axis=-1)
 
 
@@ -108,4 +164,4 @@ def spatial_inertia(mass, inertia_world, com):
 def point_velocity(v, p):
     """Linear velocity of a body point at world position p given the body's
     spatial motion vector v = (omega, v0)."""
-    return v[..., 3:] + jnp.cross(v[..., :3], p)
+    return v[..., 3:] + cross(v[..., :3], p)

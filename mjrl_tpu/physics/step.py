@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from mjrl_tpu.physics import dynamics as dyn
 from mjrl_tpu.physics.collision import contact_qfrc
+from mjrl_tpu.ops.linalg import spd_solve
 from mjrl_tpu.physics.kinematics import fwd_kinematics
 from mjrl_tpu.physics.model import EULER, RK4, Model, State
 
@@ -46,7 +47,7 @@ def _forces_and_mass(model: Model, state: State, ctrl):
 def qacc_smooth(model: Model, state: State, ctrl):
     """qacc = M^-1 (qfrc_total - bias) — used by RK4 and diagnostics."""
     m, qfrc, bias = _forces_and_mass(model, state, ctrl)
-    return jnp.linalg.solve(m, qfrc - bias)
+    return spd_solve(m, qfrc - bias)
 
 
 def _euler_step(model: Model, state: State, ctrl):
@@ -54,7 +55,7 @@ def _euler_step(model: Model, state: State, ctrl):
     m, qfrc, bias = _forces_and_mass(model, state, ctrl)
     # implicit joint damping: M + h diag(B)
     mh = m + h * jnp.diag(model.dof_damping)
-    qacc = jnp.linalg.solve(mh, qfrc - bias)
+    qacc = spd_solve(mh, qfrc - bias)
     qvel = state.qvel + h * qacc
     qpos = state.qpos + h * qvel
     return State(qpos=qpos, qvel=qvel)

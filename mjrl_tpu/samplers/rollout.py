@@ -34,7 +34,7 @@ import numpy as np
 
 
 def rollout_batch(env, policy, params, transforms, key, num_traj,
-                  horizon=None, eval_mode=False):
+                  horizon=None, eval_mode=False, mesh=None):
     """Collect ``num_traj`` fixed-length paths fully on device.
 
     env: functional env; policy: GaussianMLP config; params/transforms:
@@ -78,6 +78,9 @@ def rollout_batch(env, policy, params, transforms, key, num_traj,
         return outs
 
     keys = jax.random.split(key, num_traj)
+    if mesh is not None:
+        from mjrl_tpu.parallel.mesh import shard_rollout_keys
+        keys = shard_rollout_keys(keys, mesh)
     return jax.vmap(one_path)(keys)
 
 
