@@ -94,6 +94,25 @@ def GaussianLinear(obs_dim, act_dim, min_log_std=-3.0, init_log_std=0.0):
                        min_log_std=min_log_std, init_log_std=init_log_std)
 
 
+def MLP(env_spec, hidden_sizes=(64, 64), min_log_std=-3.0, init_log_std=0.0,
+        seed=None):
+    """Reference-named convenience constructor (gaussian_mlp.py MLP):
+    stateful Policy over a GaussianMLP from an EnvSpec."""
+    cfg = GaussianMLP(env_spec.observation_dim, env_spec.action_dim,
+                      tuple(hidden_sizes), min_log_std=min_log_std,
+                      init_log_std=init_log_std)
+    return Policy(cfg, seed=123 if seed is None else seed)
+
+
+def LinearPolicy(env_spec, min_log_std=-3.0, init_log_std=0.0, seed=None):
+    """Reference-named convenience constructor (gaussian_linear.py
+    LinearPolicy)."""
+    cfg = GaussianLinear(env_spec.observation_dim, env_spec.action_dim,
+                         min_log_std=min_log_std,
+                         init_log_std=init_log_std)
+    return Policy(cfg, seed=123 if seed is None else seed)
+
+
 class Policy:
     """Stateful host-side wrapper with the reference's policy protocol.
 
