@@ -1,0 +1,217 @@
+"""MJCF (MuJoCo XML) parser -> ModelBuilder -> Model.
+
+Generic load path for user models (the counterpart of mujoco-py's
+compiled-model loading in the reference, mjrl/envs/mujoco_env.py:17-25).
+Supports the MJCF subset used by the mjrl asset suite and typical planar
+locomotion models:
+
+- compiler: angle (degree/radian), inertiafromgeom, coordinate=local
+- option: timestep, gravity, integrator, viscosity, density
+- nested default blocks with class inheritance (joint/geom/motor),
+  body childclass
+- body (pos, quat, axisangle, euler), joint (slide/hinge; axis, pos,
+  range, damping, armature, stiffness, limited, ref, solreflimit),
+  geom (plane/sphere/capsule/cylinder/box; size, fromto, pos, quat,
+  axisangle, density, mass, contype, conaffinity, friction, margin),
+  site (pos)
+- actuator/motor: joint, gear, ctrlrange, ctrllimited
+
+Validated field-by-field against MuJoCo-compiled golden data for all four
+reference assets (tests/test_mjcf.py).
+"""
+
+import math
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from mjrl_tpu.physics.model import ModelBuilder
+
+
+def _floats(s):
+    return np.array([float(x) for x in s.split()])
+
+
+def _axisangle_quat(axis, angle):
+    axis = np.asarray(axis, np.float64)
+    n = np.linalg.norm(axis)
+    axis = axis / (n if n > 0 else 1.0)
+    return np.concatenate([[np.cos(angle / 2)], axis * np.sin(angle / 2)])
+
+
+def _euler_quat(euler):
+    """MuJoCo default eulerseq 'xyz' (extrinsic)."""
+    qx = _axisangle_quat([1, 0, 0], euler[0])
+    qy = _axisangle_quat([0, 1, 0], euler[1])
+    qz = _axisangle_quat([0, 0, 1], euler[2])
+
+    def mul(a, b):
+        w1, x1, y1, z1 = a
+        w2, x2, y2, z2 = b
+        return np.array([
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
+    return mul(mul(qz, qy), qx)
+
+
+class _Defaults:
+    """Nested default-class resolution (MJCF <default> blocks)."""
+
+    def __init__(self):
+        self.classes = {"main": {"joint": {}, "geom": {}, "motor": {},
+                                 "site": {}, "parent": None}}
+
+    def parse(self, elem, parent="main"):
+        cls = elem.get("class", parent if elem is not None else "main")
+        if cls not in self.classes:
+            self.classes[cls] = {"joint": {}, "geom": {}, "motor": {},
+                                 "site": {}, "parent": parent}
+        for child in elem:
+            if child.tag in ("joint", "geom", "motor", "site"):
+                self.classes[cls][child.tag].update(child.attrib)
+            elif child.tag == "default":
+                self.parse(child, parent=cls)
+
+    def resolve(self, kind, cls, attrib):
+        """Effective attributes: class chain defaults overridden by the
+        element's own attributes."""
+        chain = []
+        c = cls
+        while c is not None and c in self.classes:
+            chain.append(c)
+            c = self.classes[c]["parent"]
+        merged = {}
+        for c in reversed(chain):
+            merged.update(self.classes[c][kind])
+        merged.update(attrib)
+        return merged
+
+
+def load_mjcf(path=None, xml_string=None):
+    """Parse an MJCF document -> ModelBuilder (call .finalize() for the
+    Model)."""
+    root = ET.fromstring(xml_string) if xml_string is not None \
+        else ET.parse(path).getroot()
+    assert root.tag == "mujoco"
+
+    compiler = root.find("compiler")
+    angle = (compiler.get("angle", "degree") if compiler is not None
+             else "degree")
+    to_rad = (math.pi / 180.0) if angle == "degree" else 1.0
+
+    opt = root.find("option")
+
+    def opt_get(name, default):
+        return opt.get(name, default) if opt is not None else default
+
+    builder = ModelBuilder(
+        timestep=float(opt_get("timestep", "0.002")),
+        gravity=tuple(_floats(opt_get("gravity", "0 0 -9.81"))),
+        integrator=opt_get("integrator", "Euler").lower()
+        if opt_get("integrator", "Euler").lower() in ("euler",)
+        else "rk4",
+        viscosity=float(opt_get("viscosity", "0")),
+        density=float(opt_get("density", "0")))
+
+    defaults = _Defaults()
+    for d in root.findall("default"):
+        defaults.parse(d)
+
+    def elem_quat(attrib):
+        if "quat" in attrib:
+            q = _floats(attrib["quat"])
+            return q / np.linalg.norm(q)
+        if "axisangle" in attrib:
+            aa = _floats(attrib["axisangle"])
+            return _axisangle_quat(aa[:3], aa[3] * to_rad)
+        if "euler" in attrib:
+            return _euler_quat(_floats(attrib["euler"]) * to_rad)
+        return np.array([1.0, 0, 0, 0])
+
+    def add_geom(body_id, g, cls):
+        a = defaults.resolve("geom", g.get("class", cls), g.attrib)
+        gtype = a.get("type", "sphere")
+        kwargs = dict(
+            gtype=gtype,
+            size=tuple(_floats(a["size"])) if "size" in a else (0.0,),
+            pos=tuple(_floats(a.get("pos", "0 0 0"))),
+            quat=tuple(elem_quat(a)),
+            density=float(a.get("density", "1000")),
+            mass=float(a["mass"]) if "mass" in a else None,
+            contype=int(a.get("contype", "1")),
+            conaffinity=int(a.get("conaffinity", "1")),
+            friction=tuple(_floats(a.get("friction", "1 0.005 0.0001"))),
+            margin=float(a.get("margin", "0")),
+            name=a.get("name"))
+        if "fromto" in a:
+            kwargs["fromto"] = tuple(_floats(a["fromto"]))
+        builder.add_geom(body_id, **kwargs)
+
+    def add_joint(body_id, j, cls):
+        a = defaults.resolve("joint", j.get("class", cls), j.attrib)
+        jtype = a.get("type", "hinge")
+        if jtype not in ("slide", "hinge"):
+            raise NotImplementedError(
+                f"joint type {jtype!r} not supported yet "
+                "(slide/hinge only)")
+        scale = to_rad if jtype == "hinge" else 1.0
+        rng = None
+        if "range" in a:
+            rng = tuple(_floats(a["range"]) * scale)
+        limited = a.get("limited")
+        limited = None if limited is None else limited == "true"
+        builder.add_joint(
+            body_id, jtype,
+            axis=tuple(_floats(a.get("axis", "0 0 1"))),
+            pos=tuple(_floats(a.get("pos", "0 0 0"))),
+            jnt_range=rng,
+            limited=(rng is not None) if limited is None else limited,
+            damping=float(a.get("damping", "0")),
+            armature=float(a.get("armature", "0")),
+            stiffness=float(a.get("stiffness", "0")),
+            ref=float(a.get("ref", "0")) * scale,
+            solref=tuple(_floats(a.get("solreflimit", "0.02 1"))),
+            name=a.get("name"))
+
+    def add_site(body_id, s, cls):
+        a = defaults.resolve("site", s.get("class", cls), s.attrib)
+        builder.add_site(body_id, pos=tuple(_floats(a.get("pos", "0 0 0"))),
+                         quat=tuple(elem_quat(a)), name=a.get("name"))
+
+    def walk(elem, parent_id, cls):
+        for child in elem:
+            if child.tag == "body":
+                body_cls = child.get("childclass", cls)
+                bid = builder.add_body(
+                    parent_id,
+                    pos=tuple(_floats(child.get("pos", "0 0 0"))),
+                    quat=tuple(elem_quat(child.attrib)),
+                    name=child.get("name"))
+                walk(child, bid, body_cls)
+            elif child.tag == "joint":
+                add_joint(parent_id, child, cls)
+            elif child.tag == "geom":
+                add_geom(parent_id, child, cls)
+            elif child.tag == "site":
+                add_site(parent_id, child, cls)
+            # lights/cameras/textures are rendering-only: skipped
+
+    worldbody = root.find("worldbody")
+    walk(worldbody, 0, "main")
+
+    actuators = root.find("actuator")
+    if actuators is not None:
+        for m in actuators:
+            if m.tag != "motor":
+                raise NotImplementedError(
+                    f"actuator type {m.tag!r} not supported yet")
+            a = defaults.resolve("motor", m.get("class", "main"), m.attrib)
+            joint_name = a["joint"]
+            builder.add_actuator(
+                builder.names["joint"][joint_name],
+                gear=float(_floats(a.get("gear", "1"))[0]),
+                ctrlrange=tuple(_floats(a.get("ctrlrange", "-1 1"))),
+                ctrllimited=a.get("ctrllimited", "false") == "true")
+    return builder
