@@ -36,4 +36,18 @@ register("mjrl_swimmer-v0", SwimmerEnv)
 register("mjrl_reacher_7dof-v0", Reacher7DOFEnv)
 register("mjrl_peg_insertion-v0", PegEnv)
 
+# gym/MuJoCo-parity locomotion suite (models parsed from gymnasium's MJCF
+# assets, stepped by the JAX engine)
+from mjrl_tpu.envs.gym_suite import (HalfCheetahEnv, HopperEnv,  # noqa: E402
+                                     InvertedPendulumEnv, Walker2dEnv)
+
+for _id in ("Hopper-v3", "Hopper-v4"):
+    register(_id, HopperEnv)
+for _id in ("HalfCheetah-v3", "HalfCheetah-v4"):
+    register(_id, HalfCheetahEnv)
+for _id in ("Walker2d-v3", "Walker2d-v4"):
+    register(_id, Walker2dEnv)
+for _id in ("InvertedPendulum-v2", "InvertedPendulum-v4"):
+    register(_id, InvertedPendulumEnv)
+
 from mjrl_tpu.envs.gym_env import GymEnv  # noqa: E402  (needs _REGISTRY)

@@ -103,6 +103,7 @@ class MujocoLikeEnv:
 
     def step(self, state: EnvState, action) -> EnvState:
         model = self._patched_model(state.scenery)
+        action = jnp.asarray(action, state.obs.dtype)
         # action clipping to the control range happens inside
         # actuator_force (parity with gym_env.py:93-103 clip-to-box)
         physics = step_n(model, state.physics, action, self.frame_skip)

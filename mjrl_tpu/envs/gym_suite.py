@@ -1,0 +1,151 @@
+"""Gym/MuJoCo-parity locomotion environments (Hopper, HalfCheetah,
+Walker2d, InvertedPendulum).
+
+The reference trains on gym MuJoCo tasks via the same GymEnv wrapper
+(examples/example_configs/hopper_npg.txt; tests/hydra runs Hopper-v3).
+Here the MJCF models are parsed from the installed ``gymnasium`` package's
+assets with mjrl_tpu's own parser and stepped by the JAX engine — fully
+on-device, no MuJoCo dependency at run time.
+
+Semantics follow the gym v3 task definitions:
+- Hopper-v3: obs [qpos[1:], clip(qvel, ±10)] (11,); reward = healthy(1) +
+  x-velocity - 1e-3 |a|^2; terminate when z < 0.7, |angle| > 0.2, or any
+  state coordinate leaves (-100, 100); reset noise U(-5e-3, 5e-3).
+- HalfCheetah-v3: obs (17,); reward = x-velocity - 0.1 |a|^2; no early
+  termination; reset noise U(-0.1, 0.1) on qpos, 0.1 N(0,1) on qvel.
+- Walker2d-v3: obs (17,); healthy z in (0.8, 2), angle in (-1, 1).
+- InvertedPendulum-v2: obs (4,); reward 1; terminate when |angle| > 0.2.
+
+Note: contacts here are penalty-based (physics/collision.py), so the
+contact response approximates MuJoCo's constraint solver — tasks are
+qualitatively faithful rather than bit-exact.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from mjrl_tpu.envs.base import MujocoLikeEnv
+
+
+def _gym_asset(name):
+    import gymnasium
+    path = os.path.join(os.path.dirname(gymnasium.__file__), "envs",
+                        "mujoco", "assets", name)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"gymnasium MJCF asset not found: {path}")
+    return path
+
+
+class _GymMujocoEnv(MujocoLikeEnv):
+    xml_name: str
+    reset_noise = 5e-3
+    vel_noise = None   # None -> uniform reset_noise; float -> gaussian scale
+
+    def __init__(self, dtype=jnp.float32):
+        from mjrl_tpu.physics.mjcf import load_mjcf
+        builder = load_mjcf(_gym_asset(self.xml_name))
+        self.model = builder.finalize(dtype)
+        self.dtype = dtype
+        # MuJoCo init_qpos = qpos0 = joint ref values
+        self.init_qpos = self.model.jnt_ref
+        self.nq = self.model.nq
+
+    def _reset_scenery(self, key):
+        return {}
+
+    def _reset_qpos_qvel(self, key):
+        kq, kv = jax.random.split(key)
+        qpos = self.init_qpos + jax.random.uniform(
+            kq, (self.nq,), self.dtype, -self.reset_noise, self.reset_noise)
+        if self.vel_noise is None:
+            qvel = jax.random.uniform(kv, (self.nq,), self.dtype,
+                                      -self.reset_noise, self.reset_noise)
+        else:
+            qvel = self.vel_noise * jax.random.normal(kv, (self.nq,),
+                                                      self.dtype)
+        return qpos, qvel
+
+
+class HopperEnv(_GymMujocoEnv):
+    xml_name = "hopper.xml"
+    observation_dim = 11
+    frame_skip = 4
+    horizon = 1000
+    healthy_z = (0.7, jnp.inf)
+    healthy_angle = (-0.2, 0.2)
+    healthy_reward = 1.0
+    ctrl_cost = 1e-3
+    forward_weight = 1.0
+
+    def _obs(self, data, scenery, physics):
+        return jnp.concatenate([physics.qpos[1:],
+                                jnp.clip(physics.qvel, -10.0, 10.0)])
+
+    def _reward(self, obs, action, prev_state, new_physics):
+        x_vel = (new_physics.qpos[0] - prev_state.physics.qpos[0]) / self.dt
+        ctrl = self.ctrl_cost * jnp.sum(jnp.square(action))
+        return self.healthy_reward + self.forward_weight * x_vel - ctrl
+
+    def _done(self, obs, physics):
+        z, angle = physics.qpos[1], physics.qpos[2]
+        state = jnp.concatenate([physics.qpos[2:], physics.qvel])
+        healthy = ((z > self.healthy_z[0]) & (z < self.healthy_z[1])
+                   & (angle > self.healthy_angle[0])
+                   & (angle < self.healthy_angle[1])
+                   & jnp.all(jnp.abs(state) < 100.0)
+                   & jnp.all(jnp.isfinite(obs)))
+        return ~healthy
+
+
+class Walker2dEnv(HopperEnv):
+    xml_name = "walker2d.xml"
+    observation_dim = 17
+    frame_skip = 4
+    healthy_z = (0.8, 2.0)
+    healthy_angle = (-1.0, 1.0)
+
+    def _done(self, obs, physics):
+        z, angle = physics.qpos[1], physics.qpos[2]
+        healthy = ((z > self.healthy_z[0]) & (z < self.healthy_z[1])
+                   & (angle > self.healthy_angle[0])
+                   & (angle < self.healthy_angle[1])
+                   & jnp.all(jnp.isfinite(obs)))
+        return ~healthy
+
+
+class HalfCheetahEnv(_GymMujocoEnv):
+    xml_name = "half_cheetah.xml"
+    observation_dim = 17
+    frame_skip = 5
+    horizon = 1000
+    reset_noise = 0.1
+    vel_noise = 0.1
+    ctrl_cost = 0.1
+
+    def _obs(self, data, scenery, physics):
+        return jnp.concatenate([physics.qpos[1:], physics.qvel])
+
+    def _reward(self, obs, action, prev_state, new_physics):
+        x_vel = (new_physics.qpos[0] - prev_state.physics.qpos[0]) / self.dt
+        return x_vel - self.ctrl_cost * jnp.sum(jnp.square(action))
+
+
+class InvertedPendulumEnv(_GymMujocoEnv):
+    xml_name = "inverted_pendulum.xml"
+    observation_dim = 4
+    frame_skip = 2
+    horizon = 1000
+    reset_noise = 0.01
+
+    def _obs(self, data, scenery, physics):
+        return jnp.concatenate([physics.qpos, physics.qvel])
+
+    def _reward(self, obs, action, prev_state, new_physics):
+        return jnp.ones((), obs.dtype)
+
+    def _done(self, obs, physics):
+        return (jnp.abs(physics.qpos[1]) > 0.2) | \
+            ~jnp.all(jnp.isfinite(obs))

@@ -178,13 +178,18 @@ def damping_force(model: Model, qvel):
     return -model.dof_damping * qvel
 
 
-def limit_force(model: Model, qpos, qvel, m_diag):
-    """Soft joint-limit force.
+def limit_qacc(model: Model, qpos, qvel):
+    """Soft joint-limit response as a reference ACCELERATION.
 
-    MuJoCo resolves limits through its soft-constraint solver; here we use
-    the solref-parameterized spring-damper in acceleration units scaled by
-    the effective dof inertia (a stable penalty approximation; documented
-    deviation — interior dynamics are exact, limit contact is approximate).
+    MuJoCo resolves limits through its soft-constraint solver whose target
+    is the reference acceleration aref = -b v - k dist (in acceleration
+    units, from solref = (timeconst, dampratio)).  Adding aref to qacc is
+    equivalent to the generalized force M @ aref — it couples through the
+    mass matrix and is unconditionally stable at these timesteps
+    (critically-damped unit-mass dynamics per violated dof), unlike a raw
+    spring scaled by the dof inertia which over-stiffens coupled chains.
+    Documented approximation: interior dynamics are exact, limit contact
+    response is approximate.
     """
     timeconst = model.limit_solref[:, 0]
     dampratio = model.limit_solref[:, 1]
@@ -196,8 +201,8 @@ def limit_force(model: Model, qpos, qvel, m_diag):
     above = jnp.maximum(qpos - hi, 0.0)
     dist = below - above  # signed: positive pushes up, negative pushes down
     active = ((below > 0) | (above > 0)).astype(qpos.dtype)
-    f = m_diag * (k * dist - b * qvel * active)
-    return model.jnt_limited * active * f
+    aref = k * dist - b * qvel * active
+    return model.jnt_limited * active * aref
 
 
 def fluid_force(model: Model, data: Data, cvel):

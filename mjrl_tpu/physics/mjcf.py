@@ -32,6 +32,14 @@ def _floats(s):
     return np.array([float(x) for x in s.split()])
 
 
+def _friction3(s):
+    """Partial friction specs keep MuJoCo defaults for the missing
+    torsional/rolling components."""
+    vals = list(_floats(s))
+    defaults = [1.0, 0.005, 0.0001]
+    return tuple(vals + defaults[len(vals):])
+
+
 def _axisangle_quat(axis, angle):
     axis = np.asarray(axis, np.float64)
     n = np.linalg.norm(axis)
@@ -142,7 +150,7 @@ def load_mjcf(path=None, xml_string=None):
             mass=float(a["mass"]) if "mass" in a else None,
             contype=int(a.get("contype", "1")),
             conaffinity=int(a.get("conaffinity", "1")),
-            friction=tuple(_floats(a.get("friction", "1 0.005 0.0001"))),
+            friction=_friction3(a.get("friction", "1 0.005 0.0001")),
             margin=float(a.get("margin", "0")),
             name=a.get("name"))
         if "fromto" in a:

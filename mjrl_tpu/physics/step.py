@@ -35,27 +35,28 @@ def _forces_and_mass(model: Model, state: State, ctrl):
     qfrc = dyn.actuator_force(model, ctrl)
     qfrc = qfrc + dyn.spring_force(model, state.qpos)
     qfrc = qfrc + dyn.damping_force(model, state.qvel)
-    qfrc = qfrc + dyn.limit_force(model, state.qpos, state.qvel, m_diag)
     fluid = dyn.fluid_force(model, data, cvel)
     qfrc = qfrc + dyn.project_body_forces(model, cdof, fluid)
     if model.contact_pairs:
         m_mean = jnp.mean(m_diag)
         qfrc = qfrc + contact_qfrc(model, data, cdof, cvel, state.qvel, m_mean)
-    return m, qfrc, bias
+    # joint limits as a reference acceleration (see dynamics.limit_qacc)
+    qacc_ref = dyn.limit_qacc(model, state.qpos, state.qvel)
+    return m, qfrc, bias, qacc_ref
 
 
 def qacc_smooth(model: Model, state: State, ctrl):
-    """qacc = M^-1 (qfrc_total - bias) — used by RK4 and diagnostics."""
-    m, qfrc, bias = _forces_and_mass(model, state, ctrl)
-    return spd_solve(m, qfrc - bias)
+    """qacc = M^-1 (qfrc_total - bias) + limit reference acceleration."""
+    m, qfrc, bias, qacc_ref = _forces_and_mass(model, state, ctrl)
+    return spd_solve(m, qfrc - bias) + qacc_ref
 
 
 def _euler_step(model: Model, state: State, ctrl):
     h = model.timestep
-    m, qfrc, bias = _forces_and_mass(model, state, ctrl)
+    m, qfrc, bias, qacc_ref = _forces_and_mass(model, state, ctrl)
     # implicit joint damping: M + h diag(B)
     mh = m + h * jnp.diag(model.dof_damping)
-    qacc = spd_solve(mh, qfrc - bias)
+    qacc = spd_solve(mh, qfrc - bias) + qacc_ref
     qvel = state.qvel + h * qacc
     qpos = state.qpos + h * qvel
     return State(qpos=qpos, qvel=qvel)

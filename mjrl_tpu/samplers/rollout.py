@@ -57,6 +57,10 @@ def rollout_batch(env, policy, params, transforms, key, num_traj,
                 noise = jax.random.normal(kt, mean.shape, mean.dtype)
                 action = mean + jnp.exp(log_std) * noise
             ns = env.step(s, action)
+            # freeze the env after termination: keeps padded tail steps
+            # numerically safe (no NaNs from post-terminal physics)
+            ns = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(alive > 0, new, old), ns, s)
             out = dict(
                 observations=s.obs,
                 actions=action,

@@ -23,9 +23,9 @@ def _load(name):
 
 
 def test_registry():
-    assert set(envs.registered_ids()) == {
-        "mjrl_point_mass-v0", "mjrl_swimmer-v0", "mjrl_reacher_7dof-v0",
-        "mjrl_peg_insertion-v0"}
+    assert {"mjrl_point_mass-v0", "mjrl_swimmer-v0",
+            "mjrl_reacher_7dof-v0", "mjrl_peg_insertion-v0",
+            "Hopper-v3"} <= set(envs.registered_ids())
     e = envs.make("mjrl_point_mass-v0")
     assert isinstance(e, PointMassEnv)
 

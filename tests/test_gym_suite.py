@@ -1,0 +1,86 @@
+"""Tests for the gym-parity locomotion suite (parsed from gymnasium MJCF
+assets, stepped by the JAX engine)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mjrl_tpu import envs
+
+
+@pytest.mark.parametrize("env_id,obs_dim,act_dim", [
+    ("Hopper-v3", 11, 3),
+    ("HalfCheetah-v3", 17, 6),
+    ("Walker2d-v3", 17, 6),
+    ("InvertedPendulum-v2", 4, 1),
+])
+def test_specs_and_step(env_id, obs_dim, act_dim):
+    env = envs.make(env_id, dtype=jnp.float64)
+    assert env.spec.observation_dim == obs_dim
+    assert env.spec.action_dim == act_dim
+    s = env.reset(jax.random.PRNGKey(0))
+    assert s.obs.shape == (obs_dim,)
+    step = jax.jit(env.step)
+    s = step(s, jnp.zeros(act_dim))
+    assert np.isfinite(float(s.reward))
+    assert np.all(np.isfinite(np.asarray(s.obs)))
+
+
+def test_hopper_terminates_when_fallen():
+    env = envs.make("Hopper-v3", dtype=jnp.float64)
+    s = env.reset(jax.random.PRNGKey(0))
+    # teleport torso far below healthy range
+    s = s.replace(physics=s.physics.replace(
+        qpos=s.physics.qpos.at[1].set(0.3)))
+    s2 = env.step(s, jnp.zeros(3))
+    assert bool(s2.done)
+
+
+def test_hopper_stands_on_floor():
+    """Penalty contacts must support the standing hopper (no fall-through,
+    no blowup) for 100 zero-action steps."""
+    env = envs.make("Hopper-v3")
+    s = env.reset(jax.random.PRNGKey(1))
+    step = jax.jit(env.step)
+    for _ in range(100):
+        s = step(s, jnp.zeros(3))
+    z = float(s.physics.qpos[1])
+    assert 1.0 < z < 1.3
+    assert not bool(s.done)
+
+
+def test_hopper_rollout_masks_after_done():
+    from mjrl_tpu.models import GaussianMLP
+    from mjrl_tpu.samplers import rollout_batch
+    env = envs.make("Hopper-v3")
+    pol = GaussianMLP(11, 3, hidden_sizes=(16,), init_log_std=1.0)
+    params, tr = pol.init(jax.random.PRNGKey(0))
+    batch = jax.jit(lambda p, t, k: rollout_batch(
+        env, pol, p, t, k, num_traj=4, horizon=100))(
+        params, tr, jax.random.PRNGKey(3))
+    mask = np.asarray(batch["mask"])
+    term = np.asarray(batch["terminated"])
+    rew = np.asarray(batch["rewards"])
+    assert np.all(np.isfinite(rew))
+    # wild random policy should fall within 100 steps
+    assert term.any()
+    # masks are a valid prefix: once 0, stays 0
+    for i in range(4):
+        m = mask[i]
+        if term[i]:
+            first_zero = int(np.argmin(m))
+            assert np.all(m[first_zero:] == 0)
+            assert np.all(rew[i][first_zero:] == 0)
+
+
+def test_half_cheetah_runs_forward_reward_sign():
+    env = envs.make("HalfCheetah-v3", dtype=jnp.float64)
+    s = env.reset(jax.random.PRNGKey(0))
+    x0 = float(s.physics.qpos[0])
+    step = jax.jit(env.step)
+    for _ in range(20):
+        s = step(s, jnp.ones(6))
+    # reward tracks x displacement
+    assert np.isfinite(float(s.reward))
+    assert abs(float(s.physics.qpos[0]) - x0) > 1e-4
