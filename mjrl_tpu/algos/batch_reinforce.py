@@ -58,6 +58,20 @@ class BatchREINFORCE:
         # optional jax.sharding.Mesh: shards the rollout batch axis across
         # devices; GSPMD inserts the update's cross-chip reductions
         self.mesh = kwargs.get("mesh", None)
+        # autoreset rollouts: episodes reset inside the scan so every grid
+        # cell is a valid sample (for early-terminating envs in 'samples'
+        # mode); processing switches to done-aware return/GAE scans
+        self.autoreset = bool(kwargs.get("autoreset", False))
+
+    # -- pickling: jitted phase caches are rebuilt lazily ---------------
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_cache"] = {}
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._cache = {}
 
     # -- plumbing --------------------------------------------------------
     @property
@@ -84,11 +98,33 @@ class BatchREINFORCE:
 
         rollout_fn = jax.jit(partial(rollout_batch, fenv, pol,
                                      num_traj=num_traj, horizon=T,
-                                     mesh=self.mesh))
+                                     mesh=self.mesh,
+                                     autoreset=self.autoreset))
+        autoreset = self.autoreset
 
         def process(bl_state, batch):
             rewards = batch["rewards"]
             mask = batch["mask"]
+            if autoreset:
+                from mjrl_tpu.ops.gae import (batched_gae_dones,
+                                              batched_returns_dones)
+                dones = batch["dones"]
+                returns = batched_returns_dones(rewards, dones, gamma)
+                obs_ext = jnp.concatenate(
+                    [batch["observations"], batch["last_obs"][:, None]],
+                    axis=1)
+                values_ext = bl.predict(bl_state, obs_ext)
+                values, v_last = values_ext[:, :-1], values_ext[:, -1]
+                if gae_lambda is None or gae_lambda < 0 or gae_lambda > 1:
+                    adv = returns - values
+                else:
+                    adv = batched_gae_dones(rewards, values, dones, v_last,
+                                            gamma, gae_lambda)
+                adv_flat = whiten(adv.reshape(-1))
+                # per-episode mean return: total reward / episode count
+                n_eps = jnp.maximum(jnp.sum(dones, axis=1), 1.0)
+                path_returns = jnp.sum(rewards, axis=1) / n_eps
+                return returns, adv_flat, path_returns
             returns = jax.vmap(discounted_returns, (0, None, 0))(
                 rewards, gamma, mask)
             values = bl.predict(bl_state, batch["observations"])

@@ -49,10 +49,22 @@ class BC:
                                      out_scale)
             self.set_variance_with_data(out_scale)
 
+        self._lr = lr
         self._optimizer = optimizer or optax.adam(lr)
         self.opt_state = self._optimizer.init(self.policy.params)
         self._key = jax.random.PRNGKey(kwargs.get("seed", 0))
         self._fit_cache = {}
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_fit_cache", None)
+        state.pop("_optimizer", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._fit_cache = {}
+        self._optimizer = optax.adam(getattr(self, "_lr", 1e-3))
 
     # -- transforms (behavior_cloning.py:52-72) --------------------------
     def compute_transformations(self):

@@ -167,6 +167,7 @@ class WorldModel:
                  *args, **kwargs):
         self.state_dim, self.act_dim = state_dim, act_dim
         self.learn_reward = learn_reward
+        self._fit_lr, self._fit_wd = fit_lr, fit_wd
         self.dyn_cfg = DynamicsNetCfg(state_dim, act_dim,
                                       tuple(hidden_size),
                                       activation=activation,
@@ -188,6 +189,27 @@ class WorldModel:
         else:
             self.rew_cfg = None
         self._fit_cache = {}
+
+    # -- pickling: drop jitted caches and optimizer closures; rebuild on
+    # load (the reference pickles WorldModels/agents routinely,
+    # run_model_accel_npg.py:247-253) ---------------------------------
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_fit_cache", None)
+        state.pop("_dyn_opt", None)
+        state.pop("_rew_opt", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._fit_cache = {}
+        opt = optax.adamw(self._fit_lr, weight_decay=self._fit_wd) \
+            if self._fit_wd > 0 else optax.adam(self._fit_lr)
+        self._dyn_opt = opt
+        if self.learn_reward:
+            self._rew_opt = optax.adamw(
+                self._fit_lr, weight_decay=self._fit_wd) \
+                if self._fit_wd > 0 else optax.adam(self._fit_lr)
 
     # -- device-compat no-ops (reference nn_dynamics.py:40-45) -----------
     def to(self, device):

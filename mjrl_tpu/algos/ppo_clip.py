@@ -39,6 +39,15 @@ class PPO(BatchREINFORCE):
         self.opt_state = self._optimizer.init(self.policy.params)
         self._has_opt_state = True
 
+    def __getstate__(self):
+        state = super().__getstate__()
+        state.pop("_optimizer", None)
+        return state
+
+    def __setstate__(self, state):
+        super().__setstate__(state)
+        self._optimizer = optax.adam(self.learn_rate)
+
     def ppo_surrogate(self, params, params_old, transforms, obs, act, adv,
                       mask=None):
         pol = self.policy.config

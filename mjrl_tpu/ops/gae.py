@@ -77,9 +77,43 @@ def gae_advantages(rewards, values, gamma, lam, terminated=False, mask=None):
     return adv
 
 
+def returns_with_dones(rewards, dones, gamma):
+    """Per-step discounted returns over an autoreset grid: the discount
+    chain breaks at episode boundaries (done_t = 1 at each episode's last
+    step).  rewards/dones: (T,)."""
+    def step(carry, xs):
+        r, d = xs
+        carry = r + gamma * carry * (1.0 - d)
+        return carry, carry
+
+    _, ys = jax.lax.scan(step, jnp.zeros((), rewards.dtype),
+                         (rewards, dones), reverse=True)
+    return ys
+
+
+def gae_with_dones(rewards, values, dones, v_last, gamma, lam):
+    """GAE over an autoreset grid.  v_last = V(final next obs), used to
+    bootstrap the trailing (time-limit truncated) episode; terminal steps
+    (done=1) bootstrap 0."""
+    v_next = jnp.concatenate([values[1:], v_last[None]])
+    deltas = rewards + gamma * v_next * (1.0 - dones) - values
+
+    def step(carry, xs):
+        delta, d = xs
+        carry = delta + gamma * lam * (1.0 - d) * carry
+        return carry, carry
+
+    _, ys = jax.lax.scan(step, jnp.zeros((), rewards.dtype),
+                         (deltas, dones), reverse=True)
+    return ys
+
+
 # Batched variants: leading batch axis (N, T).
 batched_returns = jax.vmap(discounted_returns, in_axes=(0, None))
 batched_gae = jax.vmap(gae_advantages, in_axes=(0, 0, None, None, 0))
+batched_returns_dones = jax.vmap(returns_with_dones, in_axes=(0, 0, None))
+batched_gae_dones = jax.vmap(gae_with_dones,
+                             in_axes=(0, 0, 0, 0, None, None))
 
 
 def whiten(adv, mask=None, eps=1e-6):

@@ -34,11 +34,18 @@ import numpy as np
 
 
 def rollout_batch(env, policy, params, transforms, key, num_traj,
-                  horizon=None, eval_mode=False, mesh=None):
+                  horizon=None, eval_mode=False, mesh=None,
+                  autoreset=False):
     """Collect ``num_traj`` fixed-length paths fully on device.
 
     env: functional env; policy: GaussianMLP config; params/transforms:
     policy pytrees; key: PRNGKey.
+
+    With ``autoreset`` (for early-terminating envs in 'samples' mode),
+    the env resets inside the scan at episode ends, so every grid cell is
+    a valid sample; episode boundaries are recorded in ``dones`` and the
+    done-aware return/GAE scans (ops.gae.*_with_dones) consume them.
+    Without it, paths are single episodes padded with a validity mask.
 
     Returns a dict pytree with leaves of shape (num_traj, T, ...).
     """
@@ -57,6 +64,22 @@ def rollout_batch(env, policy, params, transforms, key, num_traj,
                 noise = jax.random.normal(kt, mean.shape, mean.dtype)
                 action = mean + jnp.exp(log_std) * noise
             ns = env.step(s, action)
+            if autoreset:
+                done = ns.done
+                fresh = env.reset(jax.random.fold_in(kt, 1))
+                next_s = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(done, a, b), fresh, ns)
+                out = dict(
+                    observations=s.obs,
+                    actions=action,
+                    rewards=ns.reward,
+                    agent_mean=mean,
+                    agent_log_std=jnp.broadcast_to(log_std, mean.shape),
+                    mask=jnp.ones((), s.obs.dtype),
+                    dones=done.astype(s.obs.dtype),
+                    env_infos={k2: v for k2, v in ns.info.items()},
+                )
+                return (next_s, alive), out
             # freeze the env after termination: keeps padded tail steps
             # numerically safe (no NaNs from post-terminal physics)
             ns = jax.tree_util.tree_map(
@@ -77,7 +100,8 @@ def rollout_batch(env, policy, params, transforms, key, num_traj,
         (last, alive), outs = jax.lax.scan(
             step_fn, (s0, jnp.ones((), s0.obs.dtype)), step_keys)
         # terminated = episode ended by env before the horizon ran out
-        outs["terminated"] = (alive == 0.0)
+        outs["terminated"] = (outs["dones"][-1] > 0) if autoreset \
+            else (alive == 0.0)
         outs["last_obs"] = last.obs
         return outs
 

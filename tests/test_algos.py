@@ -119,3 +119,56 @@ def test_train_from_paths_api(pm_env):
     stats = agent.train_from_paths(paths)
     assert len(stats) == 4
     assert np.isfinite(stats[0])
+
+
+def test_autoreset_rollout_and_training():
+    """Autoreset mode: every grid cell valid; done-aware GAE; Hopper-style
+    terminating env trains without wasted padding."""
+    from mjrl_tpu.algos import NPG
+    from mjrl_tpu.baselines import LinearBaseline
+    from mjrl_tpu.envs import GymEnv
+    from mjrl_tpu.models import GaussianMLP, Policy
+    from mjrl_tpu.samplers import rollout_batch
+
+    e = GymEnv("InvertedPendulum-v2")
+    pol = Policy(GaussianMLP(4, 1, hidden_sizes=(8,), init_log_std=0.5),
+                 seed=0)
+    batch = jax.jit(lambda p, tr, k: rollout_batch(
+        e.env, pol.config, p, tr, k, num_traj=4, horizon=60,
+        autoreset=True))(pol.params, pol.transforms, jax.random.PRNGKey(0))
+    mask = np.asarray(batch["mask"])
+    dones = np.asarray(batch["dones"])
+    assert mask.all()                      # every cell valid
+    assert dones.sum() > 0                 # episodes ended and reset
+    assert np.isfinite(np.asarray(batch["rewards"])).all()
+
+    bl = LinearBaseline(e.spec)
+    agent = NPG(e, pol, bl, normalized_step_size=0.05, seed=0,
+                save_logs=True, autoreset=True)
+    stats = agent.train_step(N=6, gamma=0.99, gae_lambda=0.95, horizon=40)
+    assert np.isfinite(stats[0])
+
+
+def test_done_aware_gae_matches_per_episode():
+    """GAE over an autoreset grid == per-episode GAE stitched together."""
+    from mjrl_tpu.ops.gae import gae_advantages, gae_with_dones
+    rng = np.random.RandomState(0)
+    r = jnp.asarray(rng.randn(10), jnp.float32)
+    v = jnp.asarray(rng.randn(10), jnp.float32)
+    dones = jnp.zeros(10, jnp.float32).at[3].set(1.0)  # episodes [0:4],[4:10]
+    v_last = jnp.asarray(0.37, jnp.float32)
+    got = gae_with_dones(r, v, dones, v_last, 0.95, 0.9)
+    # episode 1: steps 0..3, terminal (bootstrap 0)
+    a1 = gae_advantages(r[:4], v[:4], 0.95, 0.9, terminated=True)
+    # episode 2: steps 4..9, truncated; bootstrap v_last
+    v2 = jnp.concatenate([v[5:], v_last[None]])
+    deltas = r[4:] + 0.95 * v2 - v[4:]
+    want2 = np.zeros(6)
+    run = 0.0
+    for t in range(5, -1, -1):
+        run = float(deltas[t]) + 0.95 * 0.9 * run
+        want2[t] = run
+    np.testing.assert_allclose(np.asarray(got[:4]), np.asarray(a1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got[4:]), want2, rtol=1e-4,
+                               atol=1e-5)
