@@ -139,6 +139,30 @@ def mass_matrix(model: Model, data: Data, cdof):
     return m + jnp.diag(model.dof_armature)
 
 
+def mass_and_bias(model: Model, data: Data, cdof, cvel, cdofdot, qvel):
+    """(M, qfrc_bias) sharing one inertia context — the hot-path entry
+    (mass_matrix/bias_force recompute it when called separately)."""
+    mask = jnp.asarray(ancestor_mask(model), cdof.dtype)
+    mass, i_world, com = _inertia_ctx(model, data)
+    # mass matrix
+    u = _apply_inertia(mass[:, None], i_world[:, None], com[:, None],
+                       cdof[None, :, :])
+    t = sum(cdof[None, :, None, k] * u[:, None, :, k] for k in range(6))
+    m = jnp.sum(mask[:, :, None] * mask[:, None, :] * t, axis=0)
+    m = m + jnp.diag(model.dof_armature)
+    # bias
+    avp = jnp.sum(mask[:, :, None] * cdofdot[None, :, :]
+                  * qvel[None, :, None], axis=1)
+    iv = _apply_inertia(mass, i_world, com, cvel)
+    f = _apply_inertia(mass, i_world, com, avp) + pm.force_cross(cvel, iv)
+    mg = mass[:, None] * model.gravity[None, :]
+    f_grav = jnp.concatenate([pm.cross(data.xipos, mg), mg], axis=-1)
+    f = f - f_grav
+    tproj = sum(cdof[None, :, k] * f[:, None, k] for k in range(6))
+    bias = jnp.sum(mask * tproj, axis=0)
+    return m, bias
+
+
 def bias_force(model: Model, data: Data, cdof, cvel, cdofdot, qvel):
     """qfrc_bias (nv,): Coriolis/centrifugal + gravity, such that
     M qacc + qfrc_bias = qfrc_applied."""

@@ -28,8 +28,8 @@ def _forces_and_mass(model: Model, state: State, ctrl):
     data = fwd_kinematics(model, state.qpos)
     cdof = dyn.compute_cdof(model, data)
     cvel, cdofdot = dyn.compute_velocities(model, data, cdof, state.qvel)
-    m = dyn.mass_matrix(model, data, cdof)
-    bias = dyn.bias_force(model, data, cdof, cvel, cdofdot, state.qvel)
+    m, bias = dyn.mass_and_bias(model, data, cdof, cvel, cdofdot,
+                                state.qvel)
 
     m_diag = jnp.diagonal(m)
     qfrc = dyn.actuator_force(model, ctrl)
