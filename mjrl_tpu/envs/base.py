@@ -62,6 +62,9 @@ class MujocoLikeEnv:
     model: Model
     frame_skip: int
     horizon: int
+    # envs whose _obs ignores kinematic data (qpos/qvel-only observations)
+    # set this False to skip the post-step FK entirely (perf)
+    needs_fk_obs = True
 
     # -- model patching ------------------------------------------------
     def _patched_model(self, scenery):
@@ -107,7 +110,8 @@ class MujocoLikeEnv:
         # action clipping to the control range happens inside
         # actuator_force (parity with gym_env.py:93-103 clip-to-box)
         physics = step_n(model, state.physics, action, self.frame_skip)
-        data = fwd_kinematics(model, physics.qpos)
+        data = fwd_kinematics(model, physics.qpos) if self.needs_fk_obs \
+            else None
         obs = self._obs(data, state.scenery, physics)
         reward = self._reward(obs, action, state, physics)
         info = self._info(obs, reward)

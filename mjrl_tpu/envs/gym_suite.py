@@ -43,6 +43,7 @@ class _GymMujocoEnv(MujocoLikeEnv):
     xml_name: str
     reset_noise = 5e-3
     vel_noise = None   # None -> uniform reset_noise; float -> gaussian scale
+    needs_fk_obs = False  # whole suite observes qpos/qvel only
 
     def __init__(self, dtype=jnp.float32):
         from mjrl_tpu.physics.mjcf import load_mjcf

@@ -16,6 +16,7 @@ class SwimmerEnv(MujocoLikeEnv):
     observation_dim = 12
     frame_skip = 5
     horizon = 500
+    needs_fk_obs = False  # obs = qpos/qvel only
 
     def __init__(self, dtype=jnp.float32):
         builder = swimmer_model()
