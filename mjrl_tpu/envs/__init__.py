@@ -38,8 +38,9 @@ register("mjrl_peg_insertion-v0", PegEnv)
 
 # gym/MuJoCo-parity locomotion suite (models parsed from gymnasium's MJCF
 # assets, stepped by the JAX engine)
-from mjrl_tpu.envs.gym_suite import (HalfCheetahEnv, HopperEnv,  # noqa: E402
-                                     InvertedPendulumEnv, Walker2dEnv)
+from mjrl_tpu.envs.gym_suite import (AntEnv, HalfCheetahEnv,  # noqa: E402
+                                     HopperEnv, InvertedPendulumEnv,
+                                     Walker2dEnv)
 
 for _id in ("Hopper-v3", "Hopper-v4"):
     register(_id, HopperEnv)
@@ -49,5 +50,7 @@ for _id in ("Walker2d-v3", "Walker2d-v4"):
     register(_id, Walker2dEnv)
 for _id in ("InvertedPendulum-v2", "InvertedPendulum-v4"):
     register(_id, InvertedPendulumEnv)
+for _id in ("Ant-v3", "Ant-v4"):
+    register(_id, AntEnv)
 
 from mjrl_tpu.envs.gym_env import GymEnv  # noqa: E402  (needs _REGISTRY)

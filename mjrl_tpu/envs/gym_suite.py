@@ -15,6 +15,11 @@ Semantics follow the gym v3 task definitions:
   termination; reset noise U(-0.1, 0.1) on qpos, 0.1 N(0,1) on qvel.
 - Walker2d-v3: obs (17,); healthy z in (0.8, 2), angle in (-1, 1).
 - InvertedPendulum-v2: obs (4,); reward 1; terminate when |angle| > 0.2.
+- Ant-v3 (floating base, free joint): obs [qpos[2:], qvel] (27, i.e. the
+  v4 ``use_contact_forces=False`` observation — this engine exposes no
+  cfrc_ext); reward = healthy(1) + x-velocity - 0.5 |a|^2 (the reference
+  gym env additionally subtracts a small contact cost); terminate when
+  z leaves (0.2, 1.0).
 
 Note: contacts here are penalty-based (physics/collision.py), so the
 contact response approximates MuJoCo's constraint solver — tasks are
@@ -50,9 +55,10 @@ class _GymMujocoEnv(MujocoLikeEnv):
         builder = load_mjcf(_gym_asset(self.xml_name))
         self.model = builder.finalize(dtype)
         self.dtype = dtype
-        # MuJoCo init_qpos = qpos0 = joint ref values
-        self.init_qpos = self.model.jnt_ref
+        # MuJoCo init_qpos = qpos0 (free joints: body pose; else jnt ref)
+        self.init_qpos = self.model.qpos0
         self.nq = self.model.nq
+        self.nv = self.model.nv
 
     def _reset_scenery(self, key):
         return {}
@@ -62,10 +68,10 @@ class _GymMujocoEnv(MujocoLikeEnv):
         qpos = self.init_qpos + jax.random.uniform(
             kq, (self.nq,), self.dtype, -self.reset_noise, self.reset_noise)
         if self.vel_noise is None:
-            qvel = jax.random.uniform(kv, (self.nq,), self.dtype,
+            qvel = jax.random.uniform(kv, (self.nv,), self.dtype,
                                       -self.reset_noise, self.reset_noise)
         else:
-            qvel = self.vel_noise * jax.random.normal(kv, (self.nq,),
+            qvel = self.vel_noise * jax.random.normal(kv, (self.nv,),
                                                       self.dtype)
         return qpos, qvel
 
@@ -132,6 +138,40 @@ class HalfCheetahEnv(_GymMujocoEnv):
     def _reward(self, obs, action, prev_state, new_physics):
         x_vel = (new_physics.qpos[0] - prev_state.physics.qpos[0]) / self.dt
         return x_vel - self.ctrl_cost * jnp.sum(jnp.square(action))
+
+
+class AntEnv(_GymMujocoEnv):
+    xml_name = "ant.xml"
+    observation_dim = 27
+    frame_skip = 5
+    horizon = 1000
+    reset_noise = 0.1
+    vel_noise = 0.1
+    healthy_z = (0.2, 1.0)
+    healthy_reward = 1.0
+    ctrl_cost = 0.5
+
+    def _reset_qpos_qvel(self, key):
+        qpos, qvel = super()._reset_qpos_qvel(key)
+        # renormalize the root quaternion after additive reset noise
+        quat = qpos[3:7]
+        qpos = qpos.at[3:7].set(
+            quat / jnp.sqrt(jnp.sum(quat * quat) + 1e-12))
+        return qpos, qvel
+
+    def _obs(self, data, scenery, physics):
+        return jnp.concatenate([physics.qpos[2:], physics.qvel])
+
+    def _reward(self, obs, action, prev_state, new_physics):
+        x_vel = (new_physics.qpos[0] - prev_state.physics.qpos[0]) / self.dt
+        ctrl = self.ctrl_cost * jnp.sum(jnp.square(action))
+        return self.healthy_reward + x_vel - ctrl
+
+    def _done(self, obs, physics):
+        z = physics.qpos[2]
+        healthy = ((z > self.healthy_z[0]) & (z < self.healthy_z[1])
+                   & jnp.all(jnp.isfinite(obs)))
+        return ~healthy
 
 
 class InvertedPendulumEnv(_GymMujocoEnv):

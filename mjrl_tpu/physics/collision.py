@@ -30,6 +30,9 @@ from mjrl_tpu.physics.model import BOX, CAPSULE, CYLINDER, PLANE, SPHERE, Model
 # samples along capsule/cylinder axes for box contacts
 _AXIS_SAMPLES = 5
 
+# penetration width where the penalty normal response saturates (m)
+CONTACT_WIDTH = 0.02
+
 
 # ---------------------------------------------------------------------------
 # primitives: each returns (depth, point, normal); depth > 0 = penetrating,
@@ -193,9 +196,17 @@ def find_contacts(model: Model, data):
     return depths + margin, points, normals, g1, g2
 
 
-def contact_qfrc(model: Model, data, cdof, cvel, qvel, m_diag_mean):
+def contact_qfrc(model: Model, data, cdof, cvel, qvel, m_diag):
     """Generalized contact forces (nv,) from penalty contacts — fully
-    vectorized over contacts."""
+    vectorized over contacts.
+
+    The normal force uses unit-impedance acceleration semantics,
+    f_n = m_eff * (k * depth - b * v_n), with the per-contact effective
+    mass from the diagonal approximation m_eff = 1 / sum_d J_nd^2 / M_dd.
+    A mean-inertia scale (the previous approach) over-stiffens contacts
+    whose normal direction has little inertia and destabilizes explicit
+    integration (observed: the gym Ant launching itself off the floor).
+    """
     depths, points, normals, g1, g2 = find_contacts(model, data)
     if depths.shape[0] == 0:
         return jnp.zeros((model.nv,), qvel.dtype)
@@ -203,6 +214,7 @@ def contact_qfrc(model: Model, data, cdof, cvel, qvel, m_diag_mean):
     gb = jnp.asarray(np.array(model.geom_body, np.int32))
     b1, b2 = gb[g1], gb[g2]
     mask = jnp.asarray(ancestor_mask(model), qvel.dtype)  # (nbody, nv)
+    coeff = mask[b2] - mask[b1]  # (C, nv); world rows are zero masks
 
     # relative velocity of body2 w.r.t. body1 at each contact point
     v1 = jax.vmap(pm.point_velocity)(cvel[b1], points)
@@ -211,19 +223,26 @@ def contact_qfrc(model: Model, data, cdof, cvel, qvel, m_diag_mean):
     vn = jnp.sum(vrel * normals, axis=-1)
     vt = vrel - vn[:, None] * normals
 
-    # solref-style gains in acceleration units scaled by mean dof inertia
+    # per-contact effective mass along the normal
+    u = jnp.concatenate([pm.cross(points, normals), normals], axis=-1)
+    jn = coeff * jnp.einsum("dk,ck->cd", cdof, u)        # (C, nv)
+    m_eff = 1.0 / (jnp.sum(jn * jn / m_diag[None, :], axis=1) + 1e-8)
+
+    # solref-style gains in acceleration units; positional response
+    # saturates at CONTACT_WIDTH penetration (bounds the energy an
+    # explicit penalty can inject on deep impacts)
     timeconst = 0.02
     k = 1.0 / (timeconst * timeconst)
     b = 2.0 / timeconst
     active = (depths > 0).astype(qvel.dtype)
-    fn = jnp.maximum(m_diag_mean * (k * depths - b * vn), 0.0) * active
+    depths_c = jnp.clip(depths, 0.0, CONTACT_WIDTH)
+    fn = jnp.maximum(m_eff * (k * depths_c - b * vn), 0.0) * active
 
     mu = jnp.maximum(model.geom_friction[g1, 0], model.geom_friction[g2, 0])
     vt_norm = jnp.linalg.norm(vt, axis=-1) + 1e-9
-    ft_mag = jnp.minimum(mu * fn, m_diag_mean * b * vt_norm)
+    ft_mag = jnp.minimum(mu * fn, m_eff * b * vt_norm)
     f_world = fn[:, None] * normals - ft_mag[:, None] * vt / vt_norm[:, None]
 
     # spatial force at world origin applied to body2 (+) and body1 (-)
     sf = jnp.concatenate([pm.cross(points, f_world), f_world], axis=-1)
-    coeff = mask[b2] - mask[b1]  # (C, nv); world rows are zero masks
     return jnp.einsum("cd,dk,ck->d", coeff, cdof, sf)

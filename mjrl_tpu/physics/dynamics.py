@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from mjrl_tpu.physics import math as pm
 from mjrl_tpu.physics.kinematics import Data
-from mjrl_tpu.physics.model import HINGE, SLIDE, Model
+from mjrl_tpu.physics.model import FREE, HINGE, JNT_NV, SLIDE, Model
 
 
 # ---------------------------------------------------------------------------
@@ -43,8 +43,15 @@ def ancestor_mask(model: Model) -> np.ndarray:
         p = model.body_parent[b]
         mask[b] = mask[p]
         for j in model.body_jnts[b]:
-            mask[b, j] = 1.0
+            da = model.jnt_dofadr[j]
+            mask[b, da:da + JNT_NV[model.jnt_type[j]]] = 1.0
     return mask
+
+
+def joint_dofs(model: Model, j):
+    """Static list of dof indices for joint j."""
+    da = model.jnt_dofadr[j]
+    return list(range(da, da + JNT_NV[model.jnt_type[j]]))
 
 
 # ---------------------------------------------------------------------------
@@ -54,15 +61,30 @@ def ancestor_mask(model: Model) -> np.ndarray:
 def compute_cdof(model: Model, data: Data):
     """(nv, 6) world-origin motion axes per dof.
 
-    hinge: (axis, anchor x axis); slide: (0, axis).
+    hinge: (axis, anchor x axis); slide: (0, axis); free: 3 world
+    translation axes followed by 3 body-frame rotation axes (MuJoCo
+    convention: free-joint angular velocity is local, linear is world),
+    anchored at the body origin.
     """
     cols = []
+    zero3 = jnp.zeros(3, data.xpos.dtype)
     for j in range(model.njnt):
-        a = data.xaxis[j]
         if model.jnt_type[j] == HINGE:
+            a = data.xaxis[j]
             cols.append(jnp.concatenate([a, pm.cross(data.xanchor[j], a)]))
         elif model.jnt_type[j] == SLIDE:
+            a = data.xaxis[j]
             cols.append(jnp.concatenate([jnp.zeros_like(a), a]))
+        elif model.jnt_type[j] == FREE:
+            b = model.jnt_body[j]
+            rot = data.xmat[b]
+            anchor = data.xpos[b]
+            for i in range(3):
+                e = jnp.zeros(3, data.xpos.dtype).at[i].set(1.0)
+                cols.append(jnp.concatenate([zero3, e]))
+            for i in range(3):
+                a = rot[:, i]
+                cols.append(jnp.concatenate([a, pm.cross(anchor, a)]))
         else:
             raise NotImplementedError
     return (jnp.stack(cols) if cols
@@ -82,8 +104,22 @@ def compute_velocities(model: Model, data: Data, cdof, qvel):
     for b in range(1, model.nbody):
         v = cvel[model.body_parent[b]]
         for j in model.body_jnts[b]:
-            cdofdot[j] = pm.motion_cross(v, cdof[j])
-            v = v + cdof[j] * qvel[j]
+            dofs = joint_dofs(model, j)
+            if model.jnt_type[j] == FREE:
+                # free joint (MuJoCo mj_comVel special case): build the
+                # full 6-dof body velocity first; translation axes are
+                # constant (cdofdot = 0); body-fixed rotation axes use the
+                # FULL velocity, not the sequential partial.
+                for d in dofs:
+                    v = v + cdof[d] * qvel[d]
+                for d in dofs[:3]:
+                    cdofdot[d] = jnp.zeros(6, dtype)
+                for d in dofs[3:]:
+                    cdofdot[d] = pm.motion_cross(v, cdof[d])
+                continue
+            for d in dofs:
+                cdofdot[d] = pm.motion_cross(v, cdof[d])
+                v = v + cdof[d] * qvel[d]
         cvel.append(v)
     cvel = jnp.stack(cvel)
     cdofdot = (jnp.stack(cdofdot) if model.nv
@@ -192,10 +228,14 @@ def project_body_forces(model: Model, cdof, forces):
 # Passive forces
 # ---------------------------------------------------------------------------
 
+# saturation width for penalty limit response (rad or m)
+LIMIT_WIDTH = 0.02
+
 def spring_force(model: Model, qpos):
-    """Joint springs: -stiffness * (qpos - springref); reference models use
-    stiffness 0 except where MJCF sets it."""
-    return -model.jnt_stiffness * (qpos - model.jnt_ref)
+    """Joint springs (slide/hinge dofs): -stiffness * (qpos - springref);
+    reference models use stiffness 0 except where MJCF sets it."""
+    q = qpos[jnp.asarray(np.array(model.dof_qpos_idx, np.int32))]
+    return -model.dof_stiffness * (q - model.dof_ref)
 
 
 def damping_force(model: Model, qvel):
@@ -215,18 +255,23 @@ def limit_qacc(model: Model, qpos, qvel):
     Documented approximation: interior dynamics are exact, limit contact
     response is approximate.
     """
-    timeconst = model.limit_solref[:, 0]
-    dampratio = model.limit_solref[:, 1]
+    timeconst = model.dof_solref[:, 0]
+    dampratio = model.dof_solref[:, 1]
     k = 1.0 / jnp.maximum(timeconst * timeconst * dampratio * dampratio, 1e-12)
     b = 2.0 / jnp.maximum(timeconst, 1e-12)
-    lo, hi = model.jnt_range[:, 0], model.jnt_range[:, 1]
+    lo, hi = model.dof_range[:, 0], model.dof_range[:, 1]
+    q = qpos[jnp.asarray(np.array(model.dof_qpos_idx, np.int32))]
     # penetration beyond limits (positive when violated)
-    below = jnp.maximum(lo - qpos, 0.0)
-    above = jnp.maximum(qpos - hi, 0.0)
+    below = jnp.maximum(lo - q, 0.0)
+    above = jnp.maximum(q - hi, 0.0)
     dist = below - above  # signed: positive pushes up, negative pushes down
-    active = ((below > 0) | (above > 0)).astype(qpos.dtype)
+    active = ((below > 0) | (above > 0)).astype(q.dtype)
+    # saturate the positional response (explicit integration of an
+    # unbounded spring injects energy for large violations, e.g. models
+    # whose rest pose starts outside a joint range like gym Ant ankles)
+    dist = jnp.clip(dist, -LIMIT_WIDTH, LIMIT_WIDTH)
     aref = k * dist - b * qvel * active
-    return model.jnt_limited * active * aref
+    return model.dof_limited * active * aref
 
 
 def fluid_force(model: Model, data: Data, cvel):
@@ -296,4 +341,5 @@ def actuator_force(model: Model, ctrl):
                   ctrl)
     force = model.gear * c
     qfrc = jnp.zeros((model.nv,), ctrl.dtype)
-    return qfrc.at[jnp.asarray(list(model.actuator_joint))].add(force)
+    dof_idx = [model.jnt_dofadr[j] for j in model.actuator_joint]
+    return qfrc.at[jnp.asarray(dof_idx)].add(force)

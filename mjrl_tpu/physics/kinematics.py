@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from mjrl_tpu.physics import math as pm
-from mjrl_tpu.physics.model import HINGE, SLIDE, Model
+from mjrl_tpu.physics.model import FREE, HINGE, SLIDE, Model
 
 
 class Data(struct.PyTreeNode):
@@ -63,11 +63,21 @@ def fwd_kinematics(model: Model, qpos) -> Data:
         mat = pm.mat_mul(xmat[p], pm.quat_to_mat(model.body_quat[b]))
         pos = xpos[p] + pm.mat_vec(xmat[p], model.body_pos[b])
         for j in model.body_jnts[b]:
+            adr = model.jnt_qposadr[j]
+            if model.jnt_type[j] == FREE:
+                # floating base: qpos holds the absolute world pose
+                pos = qpos[adr:adr + 3]
+                quat = qpos[adr + 3:adr + 7]
+                quat = quat / jnp.sqrt(jnp.sum(quat * quat) + 1e-12)
+                mat = pm.quat_to_mat(quat)
+                xanchor[j] = pos
+                xaxis[j] = mat[:, 2]
+                continue
             anchor = pos + pm.mat_vec(mat, model.jnt_pos[j])
             axis_w = pm.mat_vec(mat, model.jnt_axis[j])
             xanchor[j] = anchor
             xaxis[j] = axis_w
-            q = qpos[j] - model.jnt_ref[j]
+            q = qpos[adr] - model.jnt_ref[j]
             if model.jnt_type[j] == SLIDE:
                 pos = pos + axis_w * q
             elif model.jnt_type[j] == HINGE:

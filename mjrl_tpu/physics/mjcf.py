@@ -160,10 +160,10 @@ def load_mjcf(path=None, xml_string=None):
     def add_joint(body_id, j, cls):
         a = defaults.resolve("joint", j.get("class", cls), j.attrib)
         jtype = a.get("type", "hinge")
-        if jtype not in ("slide", "hinge"):
+        if jtype not in ("slide", "hinge", "free"):
             raise NotImplementedError(
                 f"joint type {jtype!r} not supported yet "
-                "(slide/hinge only)")
+                "(free/slide/hinge only)")
         scale = to_rad if jtype == "hinge" else 1.0
         rng = None
         if "range" in a:

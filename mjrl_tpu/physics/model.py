@@ -12,8 +12,10 @@ into a Model, computing per-body mass, CoM and principal inertia from geoms
 exactly like MuJoCo's ``inertiafromgeom`` compiler path so models validate
 against golden MuJoCo data.
 
-Supported joint types: slide, hinge (1 dof each -> nq == nv == njnt).
-Free/ball joints are future work (needed for Ant/Humanoid parity).
+Supported joint types: slide, hinge (1 dof / 1 qpos each) and free
+(6 dofs / 7 qpos: world position + wxyz quaternion; must sit on a direct
+child of the world, like MuJoCo floating bases).  Ball joints are future
+work.
 """
 
 from dataclasses import dataclass, field
@@ -23,9 +25,14 @@ import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
-# joint types
+# joint types (MuJoCo enum values)
+FREE = 0
 SLIDE = 2
 HINGE = 3
+
+# dof/qpos widths per joint type
+JNT_NQ = {FREE: 7, SLIDE: 1, HINGE: 1}
+JNT_NV = {FREE: 6, SLIDE: 1, HINGE: 1}
 
 # geom types (MuJoCo enum values for golden-data compatibility)
 PLANE = 0
@@ -42,6 +49,7 @@ class Model(struct.PyTreeNode):
     # ---- static topology (trace constants) ----
     nbody: int = struct.field(pytree_node=False)
     njnt: int = struct.field(pytree_node=False)
+    nq: int = struct.field(pytree_node=False)
     nv: int = struct.field(pytree_node=False)
     nu: int = struct.field(pytree_node=False)
     ngeom: int = struct.field(pytree_node=False)
@@ -50,6 +58,8 @@ class Model(struct.PyTreeNode):
     body_jnts: Tuple[Tuple[int, ...], ...] = struct.field(pytree_node=False)
     jnt_type: Tuple[int, ...] = struct.field(pytree_node=False)
     jnt_body: Tuple[int, ...] = struct.field(pytree_node=False)
+    jnt_qposadr: Tuple[int, ...] = struct.field(pytree_node=False)
+    jnt_dofadr: Tuple[int, ...] = struct.field(pytree_node=False)
     geom_body: Tuple[int, ...] = struct.field(pytree_node=False)
     geom_type: Tuple[int, ...] = struct.field(pytree_node=False)
     site_body: Tuple[int, ...] = struct.field(pytree_node=False)
@@ -70,9 +80,18 @@ class Model(struct.PyTreeNode):
     jnt_range: Any = None         # (njnt, 2)
     jnt_limited: Any = None       # (njnt,) float mask
     jnt_stiffness: Any = None     # (njnt,)
-    jnt_ref: Any = None           # (njnt,) reference pose
+    jnt_ref: Any = None           # (njnt,) reference pose (slide/hinge)
+    qpos0: Any = None             # (nq,) default configuration
     dof_damping: Any = None       # (nv,)
     dof_armature: Any = None      # (nv,)
+    # per-dof limit/spring tables (free dofs: limited = 0)
+    dof_limited: Any = None       # (nv,)
+    dof_range: Any = None         # (nv, 2)
+    dof_solref: Any = None        # (nv, 2)
+    dof_stiffness: Any = None     # (nv,)
+    dof_ref: Any = None           # (nv,)
+    dof_qpos_idx: Tuple[int, ...] = struct.field(pytree_node=False,
+                                                 default=())
     limit_solref: Any = None      # (njnt, 2) (timeconst, dampratio)
     gear: Any = None              # (nu,)
     ctrlrange: Any = None         # (nu, 2)
@@ -90,9 +109,7 @@ class Model(struct.PyTreeNode):
     viscosity: Any = None         # scalar
     density: Any = None           # scalar (fluid medium density)
 
-    @property
-    def nq(self):
-        return self.nv
+
 
 
 class State(struct.PyTreeNode):
@@ -107,7 +124,7 @@ class State(struct.PyTreeNode):
 
 _GEOM_TYPES = {"plane": PLANE, "sphere": SPHERE, "capsule": CAPSULE,
                "cylinder": CYLINDER, "box": BOX}
-_JNT_TYPES = {"slide": SLIDE, "hinge": HINGE}
+_JNT_TYPES = {"free": FREE, "slide": SLIDE, "hinge": HINGE}
 
 
 def _np_quat_to_mat(q):
@@ -213,6 +230,10 @@ class ModelBuilder:
                   ref=0.0, limited=None, solref=(0.02, 1.0), name=None):
         if limited is None:
             limited = jnt_range is not None
+        if _JNT_TYPES[jnt_type] == FREE:
+            limited = False
+            assert self.bodies[body].parent == 0, \
+                "free joints require a direct child of the world"
         jid = len(self.joints)
         axis = np.asarray(axis, np.float64)
         axis = axis / np.linalg.norm(axis)
@@ -383,12 +404,53 @@ class ModelBuilder:
             return jnp.asarray(np.asarray(x), dtype)
 
         j = self.joints
+        # qpos/dof addressing (free joints: 7 qpos, 6 dofs)
+        jnt_qposadr, jnt_dofadr = [], []
+        nq = nv = 0
+        for x in j:
+            jnt_qposadr.append(nq)
+            jnt_dofadr.append(nv)
+            nq += JNT_NQ[x["type"]]
+            nv += JNT_NV[x["type"]]
+
+        # per-dof tables
+        dof_damping = np.zeros(nv)
+        dof_armature = np.zeros(nv)
+        dof_limited = np.zeros(nv)
+        dof_range = np.zeros((nv, 2))
+        dof_solref = np.tile([0.02, 1.0], (nv, 1))
+        dof_stiffness = np.zeros(nv)
+        dof_ref = np.zeros(nv)
+        dof_qpos_idx = np.zeros(nv, np.int64)
+        qpos0 = np.zeros(nq)
+        for ji, x in enumerate(j):
+            qa, da = jnt_qposadr[ji], jnt_dofadr[ji]
+            ndof = JNT_NV[x["type"]]
+            dof_damping[da:da + ndof] = x["damping"]
+            dof_armature[da:da + ndof] = x["armature"]
+            if x["type"] == FREE:
+                body = self.bodies[x["body"]]
+                qpos0[qa:qa + 3] = body.pos
+                qpos0[qa + 3:qa + 7] = body.quat / np.linalg.norm(body.quat)
+                dof_qpos_idx[da:da + ndof] = qa  # unused (unlimited)
+            else:
+                qpos0[qa] = x["ref"]
+                dof_limited[da] = x["limited"]
+                dof_range[da] = x["range"]
+                dof_solref[da] = x["solref"]
+                dof_stiffness[da] = x["stiffness"]
+                dof_ref[da] = x["ref"]
+                dof_qpos_idx[da] = qa
+
         model = Model(
-            nbody=nbody, njnt=njnt, nv=njnt, nu=nu, ngeom=ngeom, nsite=nsite,
+            nbody=nbody, njnt=njnt, nq=nq, nv=nv, nu=nu, ngeom=ngeom,
+            nsite=nsite,
             body_parent=tuple(b.parent for b in self.bodies),
             body_jnts=tuple(tuple(b.joints) for b in self.bodies),
             jnt_type=tuple(x["type"] for x in j),
             jnt_body=tuple(x["body"] for x in j),
+            jnt_qposadr=tuple(jnt_qposadr),
+            jnt_dofadr=tuple(jnt_dofadr),
             geom_body=tuple(g["body"] for g in self.geoms),
             geom_type=tuple(g["type"] for g in self.geoms),
             site_body=tuple(s["body"] for s in self.sites),
@@ -405,8 +467,15 @@ class ModelBuilder:
             jnt_limited=arr([x["limited"] for x in j]).reshape(njnt),
             jnt_stiffness=arr([x["stiffness"] for x in j]).reshape(njnt),
             jnt_ref=arr([x["ref"] for x in j]).reshape(njnt),
-            dof_damping=arr([x["damping"] for x in j]).reshape(njnt),
-            dof_armature=arr([x["armature"] for x in j]).reshape(njnt),
+            qpos0=arr(qpos0),
+            dof_damping=arr(dof_damping),
+            dof_armature=arr(dof_armature),
+            dof_limited=arr(dof_limited),
+            dof_range=arr(dof_range),
+            dof_solref=arr(dof_solref),
+            dof_stiffness=arr(dof_stiffness),
+            dof_ref=arr(dof_ref),
+            dof_qpos_idx=tuple(int(i) for i in dof_qpos_idx),
             limit_solref=arr([x["solref"] for x in j]).reshape(njnt, 2),
             gear=arr([a["gear"] for a in self.actuators]).reshape(nu),
             ctrlrange=arr([a["ctrlrange"] for a in self.actuators]).reshape(nu, 2),

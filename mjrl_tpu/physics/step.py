@@ -19,8 +19,39 @@ import jax.numpy as jnp
 from mjrl_tpu.physics import dynamics as dyn
 from mjrl_tpu.physics.collision import contact_qfrc
 from mjrl_tpu.ops.linalg import spd_solve
+from mjrl_tpu.physics import math as pm
 from mjrl_tpu.physics.kinematics import fwd_kinematics
-from mjrl_tpu.physics.model import EULER, RK4, Model, State
+from mjrl_tpu.physics.model import EULER, FREE, RK4, Model, State
+
+
+def integrate_pos(model: Model, qpos, qvel, h):
+    """qpos' = qpos advanced by qvel for time h, per joint type.
+
+    slide/hinge: linear.  free: position integrates the world-frame linear
+    velocity; the quaternion right-multiplies exp(h * w_local / 2)
+    (MuJoCo mju_integratePos convention: free-joint angular velocity is
+    local) and is renormalized.
+    """
+    segments = []
+    for j in range(model.njnt):
+        qa, da = model.jnt_qposadr[j], model.jnt_dofadr[j]
+        if model.jnt_type[j] == FREE:
+            pos = qpos[qa:qa + 3] + h * qvel[da:da + 3]
+            quat = qpos[qa + 3:qa + 7]
+            w = qvel[da + 3:da + 6]
+            wnorm = jnp.sqrt(jnp.sum(w * w) + 1e-18)
+            axis = w / wnorm
+            dq = pm.axis_angle_quat(axis, wnorm * h)
+            new_quat = pm.quat_mul(quat, dq)
+            new_quat = new_quat / jnp.sqrt(jnp.sum(new_quat * new_quat)
+                                           + 1e-18)
+            segments.append(pos)
+            segments.append(new_quat)
+        else:
+            segments.append(qpos[qa:qa + 1] + h * qvel[da:da + 1])
+    if not segments:
+        return qpos
+    return jnp.concatenate(segments)
 
 
 def _forces_and_mass(model: Model, state: State, ctrl):
@@ -38,8 +69,8 @@ def _forces_and_mass(model: Model, state: State, ctrl):
     fluid = dyn.fluid_force(model, data, cvel)
     qfrc = qfrc + dyn.project_body_forces(model, cdof, fluid)
     if model.contact_pairs:
-        m_mean = jnp.mean(m_diag)
-        qfrc = qfrc + contact_qfrc(model, data, cdof, cvel, state.qvel, m_mean)
+        qfrc = qfrc + contact_qfrc(model, data, cdof, cvel, state.qvel,
+                                   m_diag)
     # joint limits as a reference acceleration (see dynamics.limit_qacc)
     qacc_ref = dyn.limit_qacc(model, state.qpos, state.qvel)
     return m, qfrc, bias, qacc_ref
@@ -58,7 +89,7 @@ def _euler_step(model: Model, state: State, ctrl):
     mh = m + h * jnp.diag(model.dof_damping)
     qacc = spd_solve(mh, qfrc - bias) + qacc_ref
     qvel = state.qvel + h * qacc
-    qpos = state.qpos + h * qvel
+    qpos = integrate_pos(model, state.qpos, qvel, h)
     return State(qpos=qpos, qvel=qvel)
 
 
@@ -69,15 +100,17 @@ def _rk4_step(model: Model, state: State, ctrl):
         return s.qvel, qacc_smooth(model, s, ctrl)
 
     k1_p, k1_v = deriv(state)
-    s2 = State(qpos=state.qpos + 0.5 * h * k1_p,
+    s2 = State(qpos=integrate_pos(model, state.qpos, k1_p, 0.5 * h),
                qvel=state.qvel + 0.5 * h * k1_v)
     k2_p, k2_v = deriv(s2)
-    s3 = State(qpos=state.qpos + 0.5 * h * k2_p,
+    s3 = State(qpos=integrate_pos(model, state.qpos, k2_p, 0.5 * h),
                qvel=state.qvel + 0.5 * h * k2_v)
     k3_p, k3_v = deriv(s3)
-    s4 = State(qpos=state.qpos + h * k3_p, qvel=state.qvel + h * k3_v)
+    s4 = State(qpos=integrate_pos(model, state.qpos, k3_p, h),
+               qvel=state.qvel + h * k3_v)
     k4_p, k4_v = deriv(s4)
-    qpos = state.qpos + (h / 6.0) * (k1_p + 2 * k2_p + 2 * k3_p + k4_p)
+    qvel_avg = (k1_p + 2 * k2_p + 2 * k3_p + k4_p) / 6.0
+    qpos = integrate_pos(model, state.qpos, qvel_avg, h)
     qvel = state.qvel + (h / 6.0) * (k1_v + 2 * k2_v + 2 * k3_v + k4_v)
     return State(qpos=qpos, qvel=qvel)
 

@@ -84,3 +84,43 @@ def test_half_cheetah_runs_forward_reward_sign():
     # reward tracks x displacement
     assert np.isfinite(float(s.reward))
     assert abs(float(s.physics.qpos[0]) - x0) > 1e-4
+
+
+def test_ant_free_joint_env():
+    env = envs.make("Ant-v3", dtype=jnp.float64)
+    assert env.spec.observation_dim == 27
+    assert env.spec.action_dim == 8
+    assert env.model.nq == 15 and env.model.nv == 14
+    s = env.reset(jax.random.PRNGKey(0))
+    # root quaternion normalized after reset noise
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(s.physics.qpos[3:7])), 1.0, atol=1e-6)
+    step = jax.jit(env.step)
+    for _ in range(30):
+        s = step(s, jnp.zeros(8))
+    assert np.all(np.isfinite(np.asarray(s.obs)))
+    z = float(s.physics.qpos[2])
+    assert 0.2 < z < 1.0  # settling on its legs, still healthy
+    assert not bool(s.done)
+
+
+def test_free_body_tumbling_matches_mujoco_golden():
+    """Free joint: quaternion FK + integration validated against a stored
+    MuJoCo trajectory (machine precision when constraint-free)."""
+    import os
+    g_path = os.path.join(os.path.dirname(__file__), "golden",
+                          "freebody.npz")
+    if not os.path.exists(g_path):
+        import pytest
+        pytest.skip("no freebody golden")
+    g = np.load(g_path, allow_pickle=True)
+    from mjrl_tpu.physics.mjcf import load_mjcf
+    from mjrl_tpu.physics.model import State
+    from mjrl_tpu.physics.step import step_n
+    model = load_mjcf(xml_string=str(g["xml"])).finalize(jnp.float64)
+    s = State(qpos=jnp.asarray(g["qpos0"]), qvel=jnp.asarray(g["qvel0"]))
+    out = step_n(model, s, jnp.zeros(0), int(g["steps"]))
+    np.testing.assert_allclose(np.asarray(out.qpos), g["qpos_end"],
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out.qvel), g["qvel_end"],
+                               atol=1e-9)
