@@ -39,8 +39,8 @@ register("mjrl_peg_insertion-v0", PegEnv)
 # gym/MuJoCo-parity locomotion suite (models parsed from gymnasium's MJCF
 # assets, stepped by the JAX engine)
 from mjrl_tpu.envs.gym_suite import (AntEnv, HalfCheetahEnv,  # noqa: E402
-                                     HopperEnv, InvertedPendulumEnv,
-                                     Walker2dEnv)
+                                     HopperEnv, HumanoidEnv,
+                                     InvertedPendulumEnv, Walker2dEnv)
 
 for _id in ("Hopper-v3", "Hopper-v4"):
     register(_id, HopperEnv)
@@ -52,5 +52,7 @@ for _id in ("InvertedPendulum-v2", "InvertedPendulum-v4"):
     register(_id, InvertedPendulumEnv)
 for _id in ("Ant-v3", "Ant-v4"):
     register(_id, AntEnv)
+for _id in ("Humanoid-v3", "Humanoid-v4"):
+    register(_id, HumanoidEnv)
 
 from mjrl_tpu.envs.gym_env import GymEnv  # noqa: E402  (needs _REGISTRY)

@@ -174,6 +174,45 @@ class AntEnv(_GymMujocoEnv):
         return ~healthy
 
 
+class HumanoidEnv(_GymMujocoEnv):
+    """Humanoid (17 actuators, floating base).  obs = [qpos[2:], qvel]
+    (45, the v4 observation without the cinert/cvel/qfrc/cfrc blocks);
+    reward = healthy(5) + 1.25 x-velocity - 0.1 |a|^2; terminate when z
+    leaves (1.0, 2.0).  Forward velocity is measured at the root joint
+    (the gym env uses the whole-model center of mass — small documented
+    deviation)."""
+    xml_name = "humanoid.xml"
+    observation_dim = 45
+    frame_skip = 5
+    horizon = 1000
+    reset_noise = 0.01
+    healthy_z = (1.0, 2.0)
+    healthy_reward = 5.0
+    ctrl_cost = 0.1
+    forward_weight = 1.25
+
+    def _reset_qpos_qvel(self, key):
+        qpos, qvel = super()._reset_qpos_qvel(key)
+        quat = qpos[3:7]
+        qpos = qpos.at[3:7].set(
+            quat / jnp.sqrt(jnp.sum(quat * quat) + 1e-12))
+        return qpos, qvel
+
+    def _obs(self, data, scenery, physics):
+        return jnp.concatenate([physics.qpos[2:], physics.qvel])
+
+    def _reward(self, obs, action, prev_state, new_physics):
+        x_vel = (new_physics.qpos[0] - prev_state.physics.qpos[0]) / self.dt
+        ctrl = self.ctrl_cost * jnp.sum(jnp.square(action))
+        return self.healthy_reward + self.forward_weight * x_vel - ctrl
+
+    def _done(self, obs, physics):
+        z = physics.qpos[2]
+        healthy = ((z > self.healthy_z[0]) & (z < self.healthy_z[1])
+                   & jnp.all(jnp.isfinite(obs)))
+        return ~healthy
+
+
 class InvertedPendulumEnv(_GymMujocoEnv):
     xml_name = "inverted_pendulum.xml"
     observation_dim = 4

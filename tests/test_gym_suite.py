@@ -124,3 +124,16 @@ def test_free_body_tumbling_matches_mujoco_golden():
                                atol=1e-10)
     np.testing.assert_allclose(np.asarray(out.qvel), g["qvel_end"],
                                atol=1e-9)
+
+
+def test_humanoid_env():
+    env = envs.make("Humanoid-v3", dtype=jnp.float64)
+    assert env.spec.observation_dim == 45
+    assert env.spec.action_dim == 17
+    s = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    for _ in range(5):
+        s = step(s, jnp.zeros(17))
+    assert np.all(np.isfinite(np.asarray(s.obs)))
+    # standing upright initially (z0 = 1.4), zero ctrl collapses slowly
+    assert float(s.physics.qpos[2]) > 1.0
