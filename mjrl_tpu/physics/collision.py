@@ -223,9 +223,11 @@ def contact_qfrc(model: Model, data, cdof, cvel, qvel, m_diag):
     vn = jnp.sum(vrel * normals, axis=-1)
     vt = vrel - vn[:, None] * normals
 
-    # per-contact effective mass along the normal
+    # per-contact effective mass along the normal (unrolled over the 6
+    # spatial components — dot_general breaks XLA elementwise fusion)
     u = jnp.concatenate([pm.cross(points, normals), normals], axis=-1)
-    jn = coeff * jnp.einsum("dk,ck->cd", cdof, u)        # (C, nv)
+    jn = coeff * sum(cdof[None, :, k] * u[:, None, k]
+                     for k in range(6))                  # (C, nv)
     m_eff = 1.0 / (jnp.sum(jn * jn / m_diag[None, :], axis=1) + 1e-8)
 
     # solref-style gains in acceleration units; positional response
@@ -245,4 +247,5 @@ def contact_qfrc(model: Model, data, cdof, cvel, qvel, m_diag):
 
     # spatial force at world origin applied to body2 (+) and body1 (-)
     sf = jnp.concatenate([pm.cross(points, f_world), f_world], axis=-1)
-    return jnp.einsum("cd,dk,ck->d", coeff, cdof, sf)
+    t = sum(cdof[None, :, k] * sf[:, None, k] for k in range(6))  # (C, nv)
+    return jnp.sum(coeff * t, axis=0)
