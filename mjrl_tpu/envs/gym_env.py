@@ -111,6 +111,35 @@ class GymEnv:
     def real_env_step(self, bool_val):
         pass  # no sim/real distinction: the engine is the env
 
+    # -- rendering (offscreen; mujoco_env.py:128-135 viewer replacement) --
+    def render(self, mode="rgb_array"):
+        """Render the current state to an RGB array (matplotlib-based
+        offscreen renderer; no interactive viewer on TPU hosts)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import numpy as _np
+        from mjrl_tpu.utils.render import draw_model
+        if self._state is None:
+            self.reset()
+        model = self.env._patched_model(self._state.scenery) \
+            if hasattr(self.env, "_patched_model") else self.env.model
+        fig = plt.figure(figsize=(4, 3))
+        ax = fig.add_subplot(projection="3d")
+        draw_model(ax, model, _np.asarray(self._state.physics.qpos))
+        fig.canvas.draw()
+        buf = _np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+        plt.close(fig)
+        return buf
+
+    def visualize_policy(self, policy, num_episodes=1, horizon=None,
+                         mode="exploration", save_dir="policy_vis"):
+        """Offscreen episode rendering (gym_env.py:154-169 parity)."""
+        from mjrl_tpu.utils.render import visualize_policy as _vis
+        return _vis(self, policy, num_episodes=num_episodes,
+                    horizon=horizon, mean_action=(mode != "exploration"),
+                    save_dir=save_dir)
+
     # -- evaluation (gym_env.py:171-211) ---------------------------------
     def evaluate_policy(self, policy, num_episodes=5, horizon=None, gamma=1,
                         visual=False, percentile=[], get_full_dist=False,

@@ -210,3 +210,11 @@ def test_gym_env_evaluate_policy():
     assert len(base) == 4 and np.isfinite(base[0])
     assert len(pct) == 1
     assert full is None
+
+
+def test_gym_env_render():
+    e = GymEnv("mjrl_point_mass-v0")
+    e.reset(seed=0)
+    img = e.render()
+    assert img.ndim == 3 and img.shape[-1] == 3
+    assert img.max() > 0
