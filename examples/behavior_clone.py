@@ -5,6 +5,12 @@ Trains an NPG expert on the swimmer, collects demonstrations, clones a
 fresh policy with BC, and compares evaluation scores.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
 import pickle
 import time as timer
 

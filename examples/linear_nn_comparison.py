@@ -1,6 +1,12 @@
 """NN vs linear policy comparison on the swimmer
 (reference examples/linear_nn_comparison.py)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
 import time as timer
 
 from mjrl_tpu.algos import NPG

@@ -3,6 +3,12 @@
 40 trajectories, MLP(32, 32), step 0.05, gamma 0.95, lambda 0.97,
 seed 500 — expected to solve the task (success_rate -> 100%)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
 from mjrl_tpu.algos import NPG
 from mjrl_tpu.baselines import MLPBaseline
 from mjrl_tpu.envs import GymEnv

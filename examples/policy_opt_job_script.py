@@ -7,6 +7,12 @@ yaml, or the reference's dict-literal .txt (parsed safely — no eval).
         --config examples/example_configs/swimmer_npg.json
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
 import argparse
 import time as timer
 

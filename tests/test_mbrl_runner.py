@@ -51,3 +51,23 @@ def test_mbrl_runner_smoke(tmp_path):
                                        "policy_final.pickle"))
     assert os.path.exists(os.path.join(out, "logs", "log.csv"))
     assert np.isfinite(log["eval_score"][-1])
+
+
+def test_sweep_grid_expansion_and_run(tmp_path):
+    from mjrl_tpu.utils.sweep import expand_grid, run_sweep
+    combos = expand_grid(["a=1,2", "b=x"])
+    assert combos == [["a=1", "b=x"], ["a=2", "b=x"]]
+
+    calls = []
+
+    def entry(job_dir, cfg_path):
+        calls.append(job_dir)
+        import json
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        assert "seed" in cfg
+
+    run_sweep(str(tmp_path), {"seed": 0, "x": 1}, ["seed=1,2"], entry)
+    assert len(calls) == 2
+    import os
+    assert os.path.exists(tmp_path / "seed=1" / "config.json")
