@@ -17,7 +17,6 @@ advantage whitening with 1e-6 (batch_reinforce.py:185); optional
 KL-targeted step-halving line search (batch_reinforce.py:136-148).
 """
 
-import math
 import time as timer
 from functools import partial
 
@@ -26,10 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mjrl_tpu.algos import functional as F
-from mjrl_tpu.ops.flat import tree_add_scaled
 from mjrl_tpu.ops.gae import gae_advantages, discounted_returns, whiten
-from mjrl_tpu.samplers.rollout import (num_traj_for_samples, paths_to_list,
-                                       rollout_batch)
+from mjrl_tpu.samplers.rollout import num_traj_for_samples, rollout_batch
 from mjrl_tpu.utils.logger import DataLog
 
 
@@ -200,6 +197,7 @@ class BatchREINFORCE:
             else min(int(horizon), fenv.horizon)
         num_traj = N if sample_mode == "trajectories" \
             else num_traj_for_samples(N, T)
+        self._last_gamma_lambda = (gamma, gae_lambda)
 
         rollout_fn, process_fn, update_fn, fit_fn = self._get_phases(
             num_traj, T, gamma, gae_lambda)

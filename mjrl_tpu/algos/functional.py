@@ -17,8 +17,6 @@ All functions take a (policy config, params pytree, transforms) triple and
 flat (batch, ...) data arrays with an optional validity mask.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

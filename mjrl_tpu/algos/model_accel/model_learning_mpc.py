@@ -21,8 +21,6 @@ here each candidate gets its own disagreement (capability intent, not
 bug parity).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

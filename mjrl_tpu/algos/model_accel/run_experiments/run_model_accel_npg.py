@@ -222,6 +222,10 @@ def run(output, job_data):
 
         if outer_iter > 0 and outer_iter % job_data["save_freq"] == 0:
             with open(os.path.join(output, "iterations",
+                                   f"agent_{outer_iter}.pickle"),
+                      "wb") as f:
+                pickle.dump(agent, f)
+            with open(os.path.join(output, "iterations",
                                    f"policy_{outer_iter}.pickle"),
                       "wb") as f:
                 pickle.dump(agent.policy, f)
@@ -240,6 +244,9 @@ def run(output, job_data):
             x_scale=float(job_data["act_repeat"]),
             save_loc=os.path.join(output, "logs"))
 
+    with open(os.path.join(output, "iterations", "agent_final.pickle"),
+              "wb") as f:
+        pickle.dump(agent, f)
     with open(os.path.join(output, "iterations", "policy_final.pickle"),
               "wb") as f:
         pickle.dump(agent.policy, f)

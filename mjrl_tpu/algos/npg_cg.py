@@ -14,8 +14,6 @@ Options parity: ``normalized_step_size`` / ``kl_dist`` (n_step = 2 kl),
 input transforms (npg_cg.py:24-56,101-107).
 """
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from mjrl_tpu.algos import functional as F

@@ -37,6 +37,18 @@ class GymEnv:
         self._jit_step = jax.jit(self.env.step)
         self._jit_reset = jax.jit(self.env.reset)
 
+    # -- pickling: jitted closures are rebuilt on load --------------------
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_jit_step", None)
+        state.pop("_jit_reset", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._jit_step = jax.jit(self.env.step)
+        self._jit_reset = jax.jit(self.env.reset)
+
     # -- spec ------------------------------------------------------------
     @property
     def spec(self):

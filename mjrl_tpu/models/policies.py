@@ -14,7 +14,7 @@ gives the reference's stateful host-side API (get_action, get/set_param_values)
 for scripts, pickling, and evaluation.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Tuple
 
 import jax
@@ -23,8 +23,8 @@ import numpy as np
 
 from mjrl_tpu import distributions as dist
 from mjrl_tpu.models.fc_network import (
-    Transforms, identity_transforms, init_mlp_params, mlp_forward)
-from mjrl_tpu.ops.flat import ravel, unravel_like
+    identity_transforms, init_mlp_params, mlp_forward)
+from mjrl_tpu.ops.flat import ravel
 
 
 @dataclass(frozen=True)

@@ -10,8 +10,6 @@ flag emulating the residual-tolerance early exit without host sync —
 iterations after convergence are no-ops, keeping the trace static.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -11,8 +11,6 @@ Integrators (matching MuJoCo):
 - RK4: classic 4-stage Runge-Kutta on (qpos, qvel).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -21,7 +19,7 @@ from mjrl_tpu.physics.collision import contact_qfrc
 from mjrl_tpu.ops.linalg import spd_solve
 from mjrl_tpu.physics import math as pm
 from mjrl_tpu.physics.kinematics import fwd_kinematics
-from mjrl_tpu.physics.model import EULER, FREE, RK4, Model, State
+from mjrl_tpu.physics.model import FREE, RK4, Model, State
 
 
 def integrate_pos(model: Model, qpos, qvel, h):

@@ -19,7 +19,6 @@ Improvements over the reference (capability, not bug, parity):
 import copy
 import os
 import pickle
-import time as timer
 
 import numpy as np
 

@@ -50,3 +50,17 @@ def test_mpc_sandbox_runner(tmp_path):
     model, mpc, logger = run(str(tmp_path / "mpc_job"), job)
     assert len(logger.log["rollout_score"]) == 2
     assert np.isfinite(logger.log["dyn_loss"][-1])
+
+
+def test_agent_pickle_roundtrip(tmp_path):
+    """Whole-agent pickling (reference run_model_accel_npg.py:247-253):
+    agents carry envs, jitted caches and optimizers — all must survive."""
+    import pickle
+    agent = _agent()
+    agent.train_step(N=4, gamma=0.95, gae_lambda=0.97, horizon=5)
+    blob = pickle.dumps(agent)
+    agent2 = pickle.loads(blob)
+    np.testing.assert_allclose(agent2.policy.get_param_values(),
+                               agent.policy.get_param_values())
+    stats = agent2.train_step(N=4, gamma=0.95, gae_lambda=0.97, horizon=5)
+    assert np.isfinite(stats[0])
