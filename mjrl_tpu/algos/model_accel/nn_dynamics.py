@@ -338,11 +338,23 @@ class WorldModelEnsemble:
     and queries all members in parallel on device (replaces the sequential
     ensemble loop at run_model_accel_npg.py:170-178)."""
 
-    def __init__(self, num_models, state_dim, act_dim, seed=123, **kwargs):
+    def __init__(self, num_models, state_dim, act_dim, seed=123, mesh=None,
+                 **kwargs):
         self.members = [WorldModel(state_dim, act_dim, seed=seed + i,
                                    **kwargs) for i in range(num_models)]
         self.num_models = num_models
+        # optional jax.sharding.Mesh: the stacked model axis shards across
+        # devices (ensemble parallelism) — each chip fits its members
+        self.mesh = mesh
         self._fit_cache = {}
+
+    def _shard_stacked(self, tree):
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), tree)
 
     def __len__(self):
         return self.num_models
@@ -398,6 +410,9 @@ class WorldModelEnsemble:
 
         keys = jnp.stack([jax.random.fold_in(m._key, 7)
                           for m in self.members])
+        stacked = self._shard_stacked(stacked)
+        stacked_os = self._shard_stacked(stacked_os)
+        keys = self._shard_stacked(keys)
         new_params, new_os, losses = self._fit_cache[cache_key](
             stacked, stacked_os, s, a, y, tr, keys)
         for i, m in enumerate(self.members):

@@ -62,3 +62,42 @@ def test_graft_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sharded_update_matches_unsharded():
+    """Full NPG train step: identical results with and without the mesh
+    (GSPMD partitioning must be numerically transparent)."""
+    def make_agent(mesh):
+        env = GymEnv("mjrl_point_mass-v0")
+        pol = Policy(GaussianMLP(6, 2, hidden_sizes=(8,)), seed=4)
+        bl = LinearBaseline(env.spec)
+        return NPG(env, pol, bl, normalized_step_size=0.05, seed=9,
+                   save_logs=False, mesh=mesh)
+
+    a1 = make_agent(None)
+    a2 = make_agent(make_mesh())
+    s1 = a1.train_step(N=16, gamma=0.95, gae_lambda=0.97, horizon=6)
+    s2 = a2.train_step(N=16, gamma=0.95, gae_lambda=0.97, horizon=6)
+    # partitioned reductions reorder float sums; only tiny drift allowed
+    np.testing.assert_allclose(s1[:4], s2[:4], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(a1.policy.get_param_values(),
+                               a2.policy.get_param_values(),
+                               rtol=1e-2, atol=1e-3)
+
+
+def test_ensemble_model_axis_sharding():
+    """World-model ensemble fitting with the stacked-model axis sharded
+    across devices (ensemble parallelism)."""
+    from mjrl_tpu.algos import WorldModelEnsemble
+    rng = np.random.RandomState(0)
+    s = rng.randn(256, 4).astype(np.float32)
+    a = rng.randn(256, 2).astype(np.float32)
+    sp = (s + 0.1 * np.tanh(a @ rng.randn(2, 4))).astype(np.float32)
+
+    mesh = make_mesh()
+    ens = WorldModelEnsemble(8, 4, 2, seed=0, mesh=mesh)
+    losses = ens.fit_dynamics(s, a, sp, fit_mb_size=64, fit_epochs=3)
+    assert losses.shape == (8, 3)
+    assert np.isfinite(losses).all()
+    preds = ens.predict_all(s[:8], a[:8])
+    assert preds.shape == (8, 8, 4)
