@@ -142,8 +142,11 @@ class QuadraticBaseline:
     def init(self):
         return jnp.zeros((self.num_features(),), jnp.float32)
 
-    predict = LinearBaseline.predict
-    fit = LinearBaseline.fit
+    def predict(self, coeffs, obs):
+        return self.features(obs) @ coeffs
+
+    def fit(self, coeffs, obs, returns, mask=None):
+        return LinearBaseline.fit(self, coeffs, obs, returns, mask)
 
 
 @dataclass(frozen=True)

@@ -164,15 +164,11 @@ def body_spatial_inertias(model: Model, data: Data):
 
 def mass_matrix(model: Model, data: Data, cdof):
     """Dense joint-space inertia M (nv, nv) including armature."""
-    mask = jnp.asarray(ancestor_mask(model), cdof.dtype)  # (nbody, nv)
-    mass, i_world, com = _inertia_ctx(model, data)
-    # U[b, d] = I_b S_d  — broadcast (nbody, 1, ...) x (1, nv, 6)
-    u = _apply_inertia(mass[:, None], i_world[:, None], com[:, None],
-                       cdof[None, :, :])                  # (nbody, nv, 6)
-    # T[b, d, e] = S_d . U[b, e]  (unrolled over the 6 spatial components)
-    t = sum(cdof[None, :, None, k] * u[:, None, :, k] for k in range(6))
-    m = jnp.sum(mask[:, :, None] * mask[:, None, :] * t, axis=0)
-    return m + jnp.diag(model.dof_armature)
+    zeros = jnp.zeros((model.nv,), cdof.dtype)
+    m, _ = mass_and_bias(model, data, cdof, jnp.zeros((model.nbody, 6),
+                                                      cdof.dtype),
+                         jnp.zeros_like(cdof), zeros)
+    return m
 
 
 def mass_and_bias(model: Model, data: Data, cdof, cvel, cdofdot, qvel):
@@ -202,19 +198,8 @@ def mass_and_bias(model: Model, data: Data, cdof, cvel, cdofdot, qvel):
 def bias_force(model: Model, data: Data, cdof, cvel, cdofdot, qvel):
     """qfrc_bias (nv,): Coriolis/centrifugal + gravity, such that
     M qacc + qfrc_bias = qfrc_applied."""
-    mask = jnp.asarray(ancestor_mask(model), cdof.dtype)
-    mass, i_world, com = _inertia_ctx(model, data)
-    # velocity-product acceleration per body
-    avp = jnp.sum(mask[:, :, None] * cdofdot[None, :, :]
-                  * qvel[None, :, None], axis=1)          # (nbody, 6)
-    iv = _apply_inertia(mass, i_world, com, cvel)
-    f = _apply_inertia(mass, i_world, com, avp) + pm.force_cross(cvel, iv)
-    # gravity as external force at CoM: F = (c x m g, m g)
-    mg = mass[:, None] * model.gravity[None, :]
-    f_grav = jnp.concatenate([pm.cross(data.xipos, mg), mg], axis=-1)
-    f = f - f_grav
-    # project: C_d = sum_b mask[b,d] cdof_d . f_b
-    return project_body_forces(model, cdof, f)
+    _, bias = mass_and_bias(model, data, cdof, cvel, cdofdot, qvel)
+    return bias
 
 
 def project_body_forces(model: Model, cdof, forces):
