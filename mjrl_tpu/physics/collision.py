@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from mjrl_tpu.physics import math as pm
 from mjrl_tpu.physics.dynamics import ancestor_mask
-from mjrl_tpu.physics.model import BOX, CAPSULE, CYLINDER, PLANE, SPHERE, Model
+from mjrl_tpu.physics.model import (BOX, CAPSULE, CYLINDER, EULER, PLANE,
+                                    SPHERE, Model)
 
 # samples along capsule/cylinder axes for box contacts
 _AXIS_SAMPLES = 5
@@ -232,8 +233,12 @@ def contact_qfrc(model: Model, data, cdof, cvel, qvel, m_diag):
 
     # solref-style gains in acceleration units; positional response
     # saturates at CONTACT_WIDTH penetration (bounds the energy an
-    # explicit penalty can inject on deep impacts)
-    timeconst = 0.02
+    # explicit penalty can inject on deep impacts).  Explicit integration
+    # needs the damping eigenvalue b*h = 2h/timeconst well inside the
+    # stability region: floor the timeconst at 4 timesteps under Euler
+    # (MuJoCo's implicit solver only needs >= 2 timesteps).
+    floor = 4.0 if model.integrator == EULER else 2.0
+    timeconst = jnp.maximum(0.02, floor * model.timestep)
     k = 1.0 / (timeconst * timeconst)
     b = 2.0 / timeconst
     active = (depths > 0).astype(qvel.dtype)

@@ -240,7 +240,11 @@ def limit_qacc(model: Model, qpos, qvel):
     Documented approximation: interior dynamics are exact, limit contact
     response is approximate.
     """
-    timeconst = model.dof_solref[:, 0]
+    # explicit-integration stability floor on the timeconst (see
+    # collision.contact_qfrc for the rationale)
+    from mjrl_tpu.physics.model import EULER
+    floor = (4.0 if model.integrator == EULER else 2.0) * model.timestep
+    timeconst = jnp.maximum(model.dof_solref[:, 0], floor)
     dampratio = model.dof_solref[:, 1]
     k = 1.0 / jnp.maximum(timeconst * timeconst * dampratio * dampratio, 1e-12)
     b = 2.0 / jnp.maximum(timeconst, 1e-12)
