@@ -44,6 +44,10 @@ BOX = 6
 EULER = 0
 RK4 = 1
 
+# constraint solver modes
+PENALTY = 0   # explicit penalties (default; fast, approximate)
+PGS = 1       # implicit dual with projected Jacobi (physics/solver.py)
+
 
 class Model(struct.PyTreeNode):
     # ---- static topology (trace constants) ----
@@ -65,8 +69,10 @@ class Model(struct.PyTreeNode):
     site_body: Tuple[int, ...] = struct.field(pytree_node=False)
     actuator_joint: Tuple[int, ...] = struct.field(pytree_node=False)
     integrator: int = struct.field(pytree_node=False)
+    solver: int = struct.field(pytree_node=False, default=0)
     # collision pairs: tuple of (geom1, geom2) indices, computed at build
-    contact_pairs: Tuple[Tuple[int, int], ...] = struct.field(pytree_node=False)
+    contact_pairs: Tuple[Tuple[int, int], ...] = struct.field(
+        pytree_node=False, default=())
 
     # ---- numeric fields (jnp leaves) ----
     body_pos: Any = None          # (nbody, 3) frame offset in parent frame
@@ -383,7 +389,7 @@ class ModelBuilder:
                 for b in self.bodies:
                     b.geoms = [remap[g] for g in b.geoms]
 
-    def finalize(self, dtype=jnp.float32):
+    def finalize(self, dtype=jnp.float32, solver="penalty"):
         self._sort_by_body()
         nbody = len(self.bodies)
         njnt = len(self.joints)
@@ -456,6 +462,7 @@ class ModelBuilder:
             site_body=tuple(s["body"] for s in self.sites),
             actuator_joint=tuple(a["joint"] for a in self.actuators),
             integrator=self.opt["integrator"],
+            solver={"penalty": PENALTY, "pgs": PGS}[solver],
             contact_pairs=self._contact_pairs(),
             body_pos=arr([b.pos for b in self.bodies]),
             body_quat=arr([b.quat for b in self.bodies]),

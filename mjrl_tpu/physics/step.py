@@ -19,7 +19,7 @@ from mjrl_tpu.physics.collision import contact_qfrc
 from mjrl_tpu.ops.linalg import spd_solve
 from mjrl_tpu.physics import math as pm
 from mjrl_tpu.physics.kinematics import fwd_kinematics
-from mjrl_tpu.physics.model import FREE, RK4, Model, State
+from mjrl_tpu.physics.model import FREE, PGS, RK4, Model, State
 
 
 def integrate_pos(model: Model, qpos, qvel, h):
@@ -66,26 +66,42 @@ def _forces_and_mass(model: Model, state: State, ctrl):
     qfrc = qfrc + dyn.damping_force(model, state.qvel)
     fluid = dyn.fluid_force(model, data, cvel)
     qfrc = qfrc + dyn.project_body_forces(model, cdof, fluid)
+    if model.solver == PGS:
+        # limits/contacts handled by the implicit dual (physics/solver.py)
+        ctx = (data, cdof, cvel)
+        return m, qfrc, bias, jnp.zeros_like(qfrc), ctx
     if model.contact_pairs:
         qfrc = qfrc + contact_qfrc(model, data, cdof, cvel, state.qvel,
                                    m_diag)
     # joint limits as a reference acceleration (see dynamics.limit_qacc)
     qacc_ref = dyn.limit_qacc(model, state.qpos, state.qvel)
-    return m, qfrc, bias, qacc_ref
+    return m, qfrc, bias, qacc_ref, None
 
 
 def qacc_smooth(model: Model, state: State, ctrl):
-    """qacc = M^-1 (qfrc_total - bias) + limit reference acceleration."""
-    m, qfrc, bias, qacc_ref = _forces_and_mass(model, state, ctrl)
+    """qacc = M^-1 (qfrc_total - bias) + limit reference acceleration
+    (penalty path) or the implicit constrained acceleration (PGS path)."""
+    m, qfrc, bias, qacc_ref, ctx = _forces_and_mass(model, state, ctrl)
+    if model.solver == PGS:
+        from mjrl_tpu.physics.solver import constrained_qacc
+        data, cdof, cvel = ctx
+        return constrained_qacc(model, data, cdof, cvel, state.qpos,
+                                state.qvel, m, qfrc - bias)
     return spd_solve(m, qfrc - bias) + qacc_ref
 
 
 def _euler_step(model: Model, state: State, ctrl):
     h = model.timestep
-    m, qfrc, bias, qacc_ref = _forces_and_mass(model, state, ctrl)
+    m, qfrc, bias, qacc_ref, ctx = _forces_and_mass(model, state, ctrl)
     # implicit joint damping: M + h diag(B)
     mh = m + h * jnp.diag(model.dof_damping)
-    qacc = spd_solve(mh, qfrc - bias) + qacc_ref
+    if model.solver == PGS:
+        from mjrl_tpu.physics.solver import constrained_qacc
+        data, cdof, cvel = ctx
+        qacc = constrained_qacc(model, data, cdof, cvel, state.qpos,
+                                state.qvel, mh, qfrc - bias)
+    else:
+        qacc = spd_solve(mh, qfrc - bias) + qacc_ref
     qvel = state.qvel + h * qacc
     qpos = integrate_pos(model, state.qpos, qvel, h)
     return State(qpos=qpos, qvel=qvel)

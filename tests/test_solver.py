@@ -1,0 +1,87 @@
+"""Implicit (PGS) constraint solver tests.
+
+The key measure: limit-active golden states — skipped by the smooth-path
+tests because MuJoCo resolves them with its constraint solver — should
+now reproduce MuJoCo's qacc much more closely than the penalty path.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mjrl_tpu.envs.assets import reacher_model, swimmer_model
+from mjrl_tpu.physics.model import State
+from mjrl_tpu.physics.step import qacc_smooth, step_n
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _constrained_states(name):
+    path = os.path.join(GOLDEN, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"no golden {name}")
+    g = np.load(path)
+    idx = np.where((g["nefc"] > 0) & (g["ncon"] == 0))[0]
+    if len(idx) == 0:
+        pytest.skip(f"{name}: no limit-active golden states")
+    return g, idx
+
+
+def test_pgs_matches_mujoco_on_limit_active_states():
+    g, idx = _constrained_states("reacher_limits")
+    builder = reacher_model()
+    m_pen = builder.finalize(jnp.float64)
+    m_pgs = builder.finalize(jnp.float64, solver="pgs")
+
+    acc_pen = jax.jit(lambda q, v, u: qacc_smooth(
+        m_pen, State(qpos=q, qvel=v), u))
+    acc_pgs = jax.jit(lambda q, v, u: qacc_smooth(
+        m_pgs, State(qpos=q, qvel=v), u))
+
+    err_pen, err_pgs = [], []
+    for i in idx[:10]:
+        q = jnp.asarray(g["qpos"][i])
+        v = jnp.asarray(g["qvel"][i])
+        u = jnp.asarray(g["ctrl"][i])
+        scale = max(np.abs(g["qacc"][i]).max(), 1.0)
+        err_pen.append(np.abs(np.asarray(acc_pen(q, v, u))
+                              - g["qacc"][i]).max() / scale)
+        err_pgs.append(np.abs(np.asarray(acc_pgs(q, v, u))
+                              - g["qacc"][i]).max() / scale)
+    # the implicit solver must be far closer to MuJoCo than the penalty
+    assert np.median(err_pgs) < 0.05, (err_pgs, err_pen)
+    assert np.median(err_pgs) < 0.3 * np.median(err_pen)
+
+
+def test_pgs_matches_smooth_path_when_inactive():
+    """With no active constraints the PGS path must equal the plain
+    smooth solve."""
+    builder = swimmer_model()
+    m_pen = builder.finalize(jnp.float64)
+    m_pgs = builder.finalize(jnp.float64, solver="pgs")
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, 7))
+    v = jnp.asarray(rng.uniform(-0.5, 0.5, 7))
+    u = jnp.asarray(rng.uniform(-1, 1, 4))
+    a1 = qacc_smooth(m_pen, State(qpos=q, qvel=v), u)
+    a2 = qacc_smooth(m_pgs, State(qpos=q, qvel=v), u)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-8)
+
+
+def test_pgs_hopper_stands():
+    """Contact handling through the dual: the hopper must still settle
+    upright (qualitative contact behavior preserved)."""
+    from mjrl_tpu.physics.mjcf import load_mjcf
+    import gymnasium
+    xml = os.path.join(os.path.dirname(gymnasium.__file__),
+                       "envs/mujoco/assets/hopper.xml")
+    model = load_mjcf(xml).finalize(jnp.float64, solver="pgs")
+    qpos0 = jnp.asarray(np.asarray(model.qpos0))
+    s = State(qpos=qpos0, qvel=jnp.zeros(model.nv))
+    out = jax.jit(lambda s: step_n(model, s, jnp.zeros(3), 100))(s)
+    z = float(out.qpos[1])
+    assert 1.0 < z < 1.3
+    assert bool(jnp.all(jnp.isfinite(out.qpos)))

@@ -138,3 +138,42 @@ if __name__ == "__main__":
     names = sys.argv[1:] or list(ENVS)
     for n in names:
         make_golden(n, ENVS[n])
+
+
+def make_limit_golden(name="reacher_limits", n_states=20, seed=3):
+    """States with joint limits ACTIVE (but no contacts): validates the
+    implicit constraint solver against MuJoCo's."""
+    model = mujoco.MjModel.from_xml_path(os.path.join(REF, "sawyer.xml"))
+    data = mujoco.MjData(model)
+    rng = np.random.RandomState(seed)
+    recs = dict(qpos=[], qvel=[], ctrl=[], qacc=[], nefc=[], ncon=[])
+    tries = 0
+    while len(recs["qpos"]) < n_states and tries < 500:
+        tries += 1
+        qpos = np.zeros(model.nq)
+        for j in range(model.njnt):
+            adr = model.jnt_qposadr[j]
+            lo, hi = model.jnt_range[j]
+            if model.jnt_limited[j] and rng.rand() < 0.5:
+                # slightly beyond a limit
+                qpos[adr] = (lo - rng.uniform(0, 0.05)) if rng.rand() < 0.5 \
+                    else (hi + rng.uniform(0, 0.05))
+            else:
+                mid, half = 0.5 * (lo + hi), 0.3 * (hi - lo)
+                qpos[adr] = rng.uniform(mid - half, mid + half)
+        data.qpos[:] = qpos
+        data.qvel[:] = rng.uniform(-1, 1, model.nv)
+        data.ctrl[:] = rng.uniform(-1, 1, model.nu)
+        mujoco.mj_forward(model, data)
+        if data.nefc == 0 or data.ncon > 0:
+            continue
+        recs["qpos"].append(data.qpos.copy())
+        recs["qvel"].append(data.qvel.copy())
+        recs["ctrl"].append(data.ctrl.copy())
+        recs["qacc"].append(data.qacc.copy())
+        recs["nefc"].append(data.nefc)
+        recs["ncon"].append(data.ncon)
+    out = {k: np.array(v) for k, v in recs.items()}
+    path = os.path.join(OUT, f"{name}.npz")
+    np.savez_compressed(path, **out)
+    print(f"{name}: {len(out['qpos'])} limit-active states -> {path}")
