@@ -50,10 +50,10 @@ class _GymMujocoEnv(MujocoLikeEnv):
     vel_noise = None   # None -> uniform reset_noise; float -> gaussian scale
     needs_fk_obs = False  # whole suite observes qpos/qvel only
 
-    def __init__(self, dtype=jnp.float32):
+    def __init__(self, dtype=jnp.float32, solver="penalty"):
         from mjrl_tpu.physics.mjcf import load_mjcf
         builder = load_mjcf(_gym_asset(self.xml_name))
-        self.model = builder.finalize(dtype)
+        self.model = builder.finalize(dtype, solver=solver)
         self.dtype = dtype
         # MuJoCo init_qpos = qpos0 (free joints: body pose; else jnt ref)
         self.init_qpos = self.model.qpos0

@@ -19,13 +19,13 @@ class PegEnv(MujocoLikeEnv):
     frame_skip = 4
     horizon = 50
 
-    def __init__(self, dtype=jnp.float32):
+    def __init__(self, dtype=jnp.float32, solver="penalty"):
         builder = peg_insertion_model()
         self._target_sid = builder.names["site"]["target"]
         self._peg_sid = builder.names["site"]["peg_bottom"]
         self._moved_bodies = tuple(builder.names["body"][n]
                                    for n in ("target", "w4", "w3"))
-        self.model = builder.finalize(dtype)
+        self.model = builder.finalize(dtype, solver=solver)
         self._init_body_pos = self.model.body_pos
         self.dtype = dtype
 

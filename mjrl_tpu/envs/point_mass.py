@@ -19,11 +19,11 @@ class PointMassEnv(MujocoLikeEnv):
     frame_skip = 5
     horizon = 25
 
-    def __init__(self, dtype=jnp.float32):
+    def __init__(self, dtype=jnp.float32, solver="penalty"):
         builder = point_mass_model()
         self._target_sid = builder.names["site"]["target"]
         self._agent_bid = builder.names["body"]["agent"]
-        self.model = builder.finalize(dtype)
+        self.model = builder.finalize(dtype, solver=solver)
         self.dtype = dtype
 
     def _patched_model(self, scenery):

@@ -19,11 +19,11 @@ class Reacher7DOFEnv(MujocoLikeEnv):
     frame_skip = 4
     horizon = 50
 
-    def __init__(self, dtype=jnp.float32):
+    def __init__(self, dtype=jnp.float32, solver="penalty"):
         builder = reacher_model()
         self._target_sid = builder.names["site"]["target"]
         self._finger_sid = builder.names["site"]["finger"]
-        self.model = builder.finalize(dtype)
+        self.model = builder.finalize(dtype, solver=solver)
         self.dtype = dtype
 
     def _patched_model(self, scenery):

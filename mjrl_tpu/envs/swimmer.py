@@ -18,9 +18,9 @@ class SwimmerEnv(MujocoLikeEnv):
     horizon = 500
     needs_fk_obs = False  # obs = qpos/qvel only
 
-    def __init__(self, dtype=jnp.float32):
+    def __init__(self, dtype=jnp.float32, solver="penalty"):
         builder = swimmer_model()
-        self.model = builder.finalize(dtype)
+        self.model = builder.finalize(dtype, solver=solver)
         self.dtype = dtype
 
     def _reset_scenery(self, key):
