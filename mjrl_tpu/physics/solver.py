@@ -17,13 +17,14 @@ MuJoCo uses (computation.rst "soft constraints"):
     qacc = qacc_smooth + Mh^-1 J^T lambda.
 
 Simplifications vs MuJoCo (documented): constant impedance d = d_max
-(exact once penetration exceeds the solimp width, default 1 mm);
-frictionless contact rows (the mjrl arm/peg assets declare condim=1;
-locomotion friction stays on the penalty path tangentially); Jacobi with
-under-relaxation instead of sequential Gauss-Seidel.
+(exact once penetration exceeds the solimp width, default 1 mm); the
+friction cone is boxed per tangent direction (|lambda_t| <= mu lambda_n,
+MuJoCo uses pyramidal/elliptic cones); Jacobi with under-relaxation
+instead of sequential Gauss-Seidel.
 
-Constraint rows are static: one row per limited dof + one per collision
-contact point, with inactive rows masked to zero impulse.
+Constraint rows are static: one row per limited dof, then one normal row
+per collision contact point, then two tangential (friction) rows per
+contact; inactive rows are masked to zero impulse.
 """
 
 import numpy as np
@@ -50,13 +51,18 @@ def _gains(timeconst, dampratio):
 
 
 def constraint_rows(model: Model, data, cdof, cvel, qpos, qvel):
-    """-> (J (C, nv), pos (C,), active (C,), k (C,), b (C,)).
+    """-> (J (C, nv), pos (C,), active (C,), k (C,), b (C,),
+    mu (C,), parent (C,) int array).
 
     Rows: limited dofs (lower and upper merged into one signed row — at
-    most one side can be violated) followed by contact normals.
+    most one side can be violated), contact normals, then two friction
+    rows per contact.  ``parent[i]`` is the index of the normal row a
+    friction row couples to (-1 for non-friction rows); ``mu`` is its
+    friction coefficient.
     """
     dtype = qvel.dtype
     rows, poss, actives, ks, bs = [], [], [], [], []
+    mus, parents = [], []
 
     # ---- joint limits -------------------------------------------------
     nv = model.nv
@@ -75,6 +81,8 @@ def constraint_rows(model: Model, data, cdof, cvel, qpos, qvel):
     actives.append(active_l.astype(dtype))
     ks.append(k_l)
     bs.append(b_l)
+    mus.append(jnp.zeros((nv,), dtype))
+    parents.append(np.full(nv, -1, np.int32))
 
     # ---- contact normals ----------------------------------------------
     depths, points, normals, g1, g2 = find_contacts(model, data)
@@ -89,21 +97,52 @@ def constraint_rows(model: Model, data, cdof, cvel, qpos, qvel):
                           for k in range(6))
         solref = jnp.maximum(model.geom_solref[g1], model.geom_solref[g2])
         k_c, b_c = _gains(solref[:, 0], solref[:, 1])
+        active_c = (depths > 0).astype(dtype)
         rows.append(j_c)
         poss.append(-depths)            # feasible when separated
-        actives.append((depths > 0).astype(dtype))
+        actives.append(active_c)
         ks.append(k_c)
         bs.append(b_c)
+        mus.append(jnp.zeros((C,), dtype))
+        parents.append(np.full(C, -1, np.int32))
+
+        # two tangential friction rows per contact (boxed cone)
+        mu = jnp.maximum(model.geom_friction[g1, 0],
+                         model.geom_friction[g2, 0])
+        # tangent basis orthogonal to each normal
+        ref = jnp.where(jnp.abs(normals[:, 2:3]) < 0.9,
+                        jnp.tile(jnp.asarray([0.0, 0.0, 1.0], dtype),
+                                 (C, 1)),
+                        jnp.tile(jnp.asarray([1.0, 0.0, 0.0], dtype),
+                                 (C, 1)))
+        t1 = pm.cross(normals, ref)
+        t1 = t1 / (jnp.linalg.norm(t1, axis=-1, keepdims=True) + 1e-12)
+        t2 = pm.cross(normals, t1)
+        normal_row0 = model.nv  # normals start right after the limits
+        for tdir in (t1, t2):
+            u_t = jnp.concatenate([pm.cross(points, tdir), tdir], axis=-1)
+            j_t = coeff * sum(cdof[None, :, k] * u_t[:, None, k]
+                              for k in range(6))
+            rows.append(j_t)
+            poss.append(jnp.zeros((C,), dtype))   # no positional term
+            actives.append(active_c * (mu > 0))
+            ks.append(jnp.zeros((C,), dtype))
+            bs.append(b_c)
+            mus.append(mu)
+            parents.append(np.arange(normal_row0, normal_row0 + C,
+                                     dtype=np.int32))
 
     return (jnp.concatenate(rows), jnp.concatenate(poss),
             jnp.concatenate(actives), jnp.concatenate(ks),
-            jnp.concatenate(bs))
+            jnp.concatenate(bs), jnp.concatenate(mus),
+            jnp.asarray(np.concatenate(parents)))
 
 
 def solve_constraints(model: Model, mh, qacc_smooth, j, pos, active, k, b,
-                      qvel):
+                      qvel, mu, parent):
     """Projected-Jacobi solve of the regularized dual; returns the
-    constraint acceleration Mh^-1 J^T lambda."""
+    constraint acceleration Mh^-1 J^T lambda.  Friction rows project into
+    the box |lambda_t| <= mu * lambda_n(parent)."""
     jv = j @ qvel
     aref = -b * jv - k * D_MAX * jnp.minimum(pos, 0.0)
 
@@ -117,10 +156,17 @@ def solve_constraints(model: Model, mh, qacc_smooth, j, pos, active, k, b,
 
     rhs = aref - j @ qacc_smooth
 
+    is_friction = parent >= 0
+    parent_safe = jnp.maximum(parent, 0)
+
     def body(_, lam):
         resid = a @ lam - rhs
         lam = lam - RELAX * resid / diag_full
-        lam = jnp.maximum(lam, 0.0) * active
+        # unilateral rows: lambda >= 0; friction rows: boxed cone
+        lam_uni = jnp.maximum(lam, 0.0)
+        bound = mu * lam_uni[parent_safe]
+        lam_fric = jnp.clip(lam, -bound, bound)
+        lam = jnp.where(is_friction, lam_fric, lam_uni) * active
         return lam
 
     lam0 = jnp.zeros_like(rhs)
@@ -132,8 +178,8 @@ def constrained_qacc(model: Model, data, cdof, cvel, qpos, qvel, mh,
                      qfrc_minus_bias):
     """qacc under the implicit solver: smooth solve + constraint dual."""
     qacc_smooth = chol_solve_unrolled(mh, qfrc_minus_bias)
-    j, pos, active, k, b = constraint_rows(model, data, cdof, cvel, qpos,
-                                           qvel)
+    j, pos, active, k, b, mu, parent = constraint_rows(
+        model, data, cdof, cvel, qpos, qvel)
     dacc = solve_constraints(model, mh, qacc_smooth, j, pos, active, k, b,
-                             qvel)
+                             qvel, mu, parent)
     return qacc_smooth + dacc

@@ -22,13 +22,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
-# persistent jit cache: repeat suite runs skip recompilation
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__), "..",
-                                   ".jax_cache_tests"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# NOTE: the persistent compilation cache is deliberately NOT enabled for
+# the CPU suite — XLA:CPU AOT artifacts are machine-feature sensitive and
+# loading them on a slightly different host can abort the process
+# (observed: 'prefer-no-scatter is not supported ... SIGILL').  The TPU
+# scripts (bench, tools/) use the cache; TPU executables are not
+# machine-feature sensitive this way.
 
 assert jax.default_backend() == "cpu", jax.default_backend()

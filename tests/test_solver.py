@@ -85,3 +85,23 @@ def test_pgs_hopper_stands():
     z = float(out.qpos[1])
     assert 1.0 < z < 1.3
     assert bool(jnp.all(jnp.isfinite(out.qpos)))
+
+
+def test_pgs_friction_sliding_sphere_matches_mujoco():
+    """A sphere sliding on a plane decelerates until it rolls without
+    slipping (MuJoCo: 2.0 -> 1.43 m/s).  The PGS friction rows must drive
+    the slip velocity to the same rolling equilibrium."""
+    from mjrl_tpu.physics.mjcf import load_mjcf
+    g = np.load(os.path.join(GOLDEN, "sliding_sphere.npz"),
+                allow_pickle=True)
+    model = load_mjcf(xml_string=str(g["xml"])).finalize(jnp.float64,
+                                                         solver="pgs")
+    qvel0 = jnp.zeros(model.nv).at[0].set(float(g["v0"]))
+    s = State(qpos=jnp.asarray(g["qpos0"]), qvel=qvel0)
+    out = jax.jit(lambda s: step_n(model, s, jnp.zeros(0),
+                                   int(g["steps"])))(s)
+    vx = float(out.qvel[0])
+    assert abs(vx - float(g["vx_end"])) < 0.15, vx
+    # rolling: angular velocity about y matches v/r (r = 0.1)
+    wy = float(out.qvel[4])
+    assert abs(wy * 0.1 - vx) < 0.1, (wy, vx)
