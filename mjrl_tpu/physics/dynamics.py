@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from mjrl_tpu.physics import math as pm
 from mjrl_tpu.physics.kinematics import Data
-from mjrl_tpu.physics.model import FREE, HINGE, JNT_NV, SLIDE, Model
+from mjrl_tpu.physics.model import BALL, FREE, HINGE, JNT_NV, SLIDE, Model
 
 
 # ---------------------------------------------------------------------------
@@ -61,10 +61,11 @@ def joint_dofs(model: Model, j):
 def compute_cdof(model: Model, data: Data):
     """(nv, 6) world-origin motion axes per dof.
 
-    hinge: (axis, anchor x axis); slide: (0, axis); free: 3 world
-    translation axes followed by 3 body-frame rotation axes (MuJoCo
-    convention: free-joint angular velocity is local, linear is world),
-    anchored at the body origin.
+    hinge: (axis, anchor x axis); slide: (0, axis); ball: the post-joint
+    body frame's 3 axes anchored at the joint anchor (qvel = local angular
+    velocity); free: 3 world translation axes followed by 3 body-frame
+    rotation axes (MuJoCo convention: free-joint angular velocity is
+    local, linear is world), anchored at the body origin.
     """
     cols = []
     zero3 = jnp.zeros(3, data.xpos.dtype)
@@ -75,6 +76,12 @@ def compute_cdof(model: Model, data: Data):
         elif model.jnt_type[j] == SLIDE:
             a = data.xaxis[j]
             cols.append(jnp.concatenate([jnp.zeros_like(a), a]))
+        elif model.jnt_type[j] == BALL:
+            rot = data.xmat[model.jnt_body[j]]
+            anchor = data.xanchor[j]
+            for i in range(3):
+                a = rot[:, i]
+                cols.append(jnp.concatenate([a, pm.cross(anchor, a)]))
         elif model.jnt_type[j] == FREE:
             b = model.jnt_body[j]
             rot = data.xmat[b]
@@ -116,6 +123,15 @@ def compute_velocities(model: Model, data: Data, cdof, qvel):
                     cdofdot[d] = jnp.zeros(6, dtype)
                 for d in dofs[3:]:
                     cdofdot[d] = pm.motion_cross(v, cdof[d])
+                continue
+            if model.jnt_type[j] == BALL:
+                # MuJoCo mj_comVel: all 3 ball dofs use the velocity
+                # BEFORE this joint's own contributions (probed: a
+                # root-attached ball has cdofdot = 0 exactly)
+                for d in dofs:
+                    cdofdot[d] = pm.motion_cross(v, cdof[d])
+                for d in dofs:
+                    v = v + cdof[d] * qvel[d]
                 continue
             for d in dofs:
                 cdofdot[d] = pm.motion_cross(v, cdof[d])

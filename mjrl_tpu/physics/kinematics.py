@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from mjrl_tpu.physics import math as pm
-from mjrl_tpu.physics.model import FREE, HINGE, SLIDE, Model
+from mjrl_tpu.physics.model import BALL, FREE, HINGE, SLIDE, Model
 
 
 class Data(struct.PyTreeNode):
@@ -77,6 +77,14 @@ def fwd_kinematics(model: Model, qpos) -> Data:
             axis_w = pm.mat_vec(mat, model.jnt_axis[j])
             xanchor[j] = anchor
             xaxis[j] = axis_w
+            if model.jnt_type[j] == BALL:
+                # rotate about the anchor by the local quaternion (MuJoCo:
+                # xaxis stays in the PRE-rotation frame — probed vs mjData)
+                q4 = qpos[adr:adr + 4]
+                q4 = q4 / jnp.sqrt(jnp.sum(q4 * q4) + 1e-12)
+                mat = pm.mat_mul(mat, pm.quat_to_mat(q4))
+                pos = anchor - pm.mat_vec(mat, model.jnt_pos[j])
+                continue
             q = qpos[adr] - model.jnt_ref[j]
             if model.jnt_type[j] == SLIDE:
                 pos = pos + axis_w * q

@@ -9,8 +9,8 @@ locomotion models:
 - option: timestep, gravity, integrator, viscosity, density
 - nested default blocks with class inheritance (joint/geom/motor),
   body childclass
-- body (pos, quat, axisangle, euler), joint (slide/hinge; axis, pos,
-  range, damping, armature, stiffness, limited, ref, solreflimit),
+- body (pos, quat, axisangle, euler), joint (slide/hinge/ball/free; axis,
+  pos, range, damping, armature, stiffness, limited, ref, solreflimit),
   geom (plane/sphere/capsule/cylinder/box; size, fromto, pos, quat,
   axisangle, density, mass, contype, conaffinity, friction, margin),
   site (pos)
@@ -48,7 +48,10 @@ def _axisangle_quat(axis, angle):
 
 
 def _euler_quat(euler):
-    """MuJoCo default eulerseq 'xyz' (extrinsic)."""
+    """MuJoCo default eulerseq 'xyz' — lowercase letters are INTRINSIC
+    (moving-axes) rotations, so q = qx ⊗ qy ⊗ qz (verified against the
+    MuJoCo compiler; extrinsic composition only agrees for single-axis
+    eulers like the reference assets')."""
     qx = _axisangle_quat([1, 0, 0], euler[0])
     qy = _axisangle_quat([0, 1, 0], euler[1])
     qz = _axisangle_quat([0, 0, 1], euler[2])
@@ -61,7 +64,7 @@ def _euler_quat(euler):
             w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
             w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
             w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
-    return mul(mul(qz, qy), qx)
+    return mul(mul(qx, qy), qz)
 
 
 class _Defaults:
@@ -160,11 +163,11 @@ def load_mjcf(path=None, xml_string=None):
     def add_joint(body_id, j, cls):
         a = defaults.resolve("joint", j.get("class", cls), j.attrib)
         jtype = a.get("type", "hinge")
-        if jtype not in ("slide", "hinge", "free"):
+        if jtype not in ("slide", "hinge", "free", "ball"):
             raise NotImplementedError(
                 f"joint type {jtype!r} not supported yet "
-                "(free/slide/hinge only)")
-        scale = to_rad if jtype == "hinge" else 1.0
+                "(free/ball/slide/hinge only)")
+        scale = to_rad if jtype in ("hinge", "ball") else 1.0
         rng = None
         if "range" in a:
             rng = tuple(_floats(a["range"]) * scale)

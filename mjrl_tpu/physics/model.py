@@ -12,10 +12,12 @@ into a Model, computing per-body mass, CoM and principal inertia from geoms
 exactly like MuJoCo's ``inertiafromgeom`` compiler path so models validate
 against golden MuJoCo data.
 
-Supported joint types: slide, hinge (1 dof / 1 qpos each) and free
-(6 dofs / 7 qpos: world position + wxyz quaternion; must sit on a direct
-child of the world, like MuJoCo floating bases).  Ball joints are future
-work.
+Supported joint types: slide, hinge (1 dof / 1 qpos each), ball
+(3 dofs / 4 qpos: local wxyz quaternion, angular velocity in the
+post-joint body frame — MuJoCo conventions, validated against mjData
+probes) and free (6 dofs / 7 qpos: world position + wxyz quaternion; must
+sit on a direct child of the world, like MuJoCo floating bases).  Ball
+joint limits (total-rotation-angle constraints) are not implemented.
 """
 
 from dataclasses import dataclass, field
@@ -27,12 +29,13 @@ from flax import struct
 
 # joint types (MuJoCo enum values)
 FREE = 0
+BALL = 1
 SLIDE = 2
 HINGE = 3
 
 # dof/qpos widths per joint type
-JNT_NQ = {FREE: 7, SLIDE: 1, HINGE: 1}
-JNT_NV = {FREE: 6, SLIDE: 1, HINGE: 1}
+JNT_NQ = {FREE: 7, BALL: 4, SLIDE: 1, HINGE: 1}
+JNT_NV = {FREE: 6, BALL: 3, SLIDE: 1, HINGE: 1}
 
 # geom types (MuJoCo enum values for golden-data compatibility)
 PLANE = 0
@@ -130,7 +133,7 @@ class State(struct.PyTreeNode):
 
 _GEOM_TYPES = {"plane": PLANE, "sphere": SPHERE, "capsule": CAPSULE,
                "cylinder": CYLINDER, "box": BOX}
-_JNT_TYPES = {"free": FREE, "slide": SLIDE, "hinge": HINGE}
+_JNT_TYPES = {"free": FREE, "ball": BALL, "slide": SLIDE, "hinge": HINGE}
 
 
 def _np_quat_to_mat(q):
@@ -240,6 +243,14 @@ class ModelBuilder:
             limited = False
             assert self.bodies[body].parent == 0, \
                 "free joints require a direct child of the world"
+        if _JNT_TYPES[jnt_type] == BALL and limited:
+            raise NotImplementedError(
+                "ball joint limits (rotation-angle constraints) are not "
+                "implemented; declare the joint unlimited")
+        if _JNT_TYPES[jnt_type] in (FREE, BALL) and stiffness:
+            raise NotImplementedError(
+                "quaternion springs (stiffness on free/ball joints) are "
+                "not implemented")
         jid = len(self.joints)
         axis = np.asarray(axis, np.float64)
         axis = axis / np.linalg.norm(axis)
@@ -290,6 +301,10 @@ class ModelBuilder:
 
     def add_actuator(self, joint, gear=1.0, ctrlrange=(-1.0, 1.0),
                      ctrllimited=True):
+        if self.joints[joint]["type"] in (FREE, BALL):
+            raise NotImplementedError(
+                "motors on free/ball joints (vector gear) not supported; "
+                "actuate scalar (slide/hinge) joints")
         self.actuators.append(dict(joint=joint, gear=gear,
                                    ctrlrange=np.asarray(ctrlrange, np.float64),
                                    ctrllimited=float(bool(ctrllimited))))
@@ -438,6 +453,9 @@ class ModelBuilder:
                 body = self.bodies[x["body"]]
                 qpos0[qa:qa + 3] = body.pos
                 qpos0[qa + 3:qa + 7] = body.quat / np.linalg.norm(body.quat)
+                dof_qpos_idx[da:da + ndof] = qa  # unused (unlimited)
+            elif x["type"] == BALL:
+                qpos0[qa] = 1.0  # identity quaternion
                 dof_qpos_idx[da:da + ndof] = qa  # unused (unlimited)
             else:
                 qpos0[qa] = x["ref"]

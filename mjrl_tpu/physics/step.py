@@ -19,32 +19,35 @@ from mjrl_tpu.physics.collision import contact_qfrc
 from mjrl_tpu.ops.linalg import spd_solve
 from mjrl_tpu.physics import math as pm
 from mjrl_tpu.physics.kinematics import fwd_kinematics
-from mjrl_tpu.physics.model import FREE, PGS, RK4, Model, State
+from mjrl_tpu.physics.model import BALL, FREE, PGS, RK4, Model, State
 
 
 def integrate_pos(model: Model, qpos, qvel, h):
     """qpos' = qpos advanced by qvel for time h, per joint type.
 
-    slide/hinge: linear.  free: position integrates the world-frame linear
-    velocity; the quaternion right-multiplies exp(h * w_local / 2)
-    (MuJoCo mju_integratePos convention: free-joint angular velocity is
-    local) and is renormalized.
+    slide/hinge: linear.  ball/free: the quaternion right-multiplies
+    exp(h * w_local / 2) (MuJoCo mju_integratePos convention: ball and
+    free-joint angular velocities are local) and is renormalized; free
+    position additionally integrates the world-frame linear velocity.
     """
+
+    def quat_step(quat, w, h):
+        wnorm = jnp.sqrt(jnp.sum(w * w) + 1e-18)
+        axis = w / wnorm
+        dq = pm.axis_angle_quat(axis, wnorm * h)
+        new_quat = pm.quat_mul(quat, dq)
+        return new_quat / jnp.sqrt(jnp.sum(new_quat * new_quat) + 1e-18)
+
     segments = []
     for j in range(model.njnt):
         qa, da = model.jnt_qposadr[j], model.jnt_dofadr[j]
-        if model.jnt_type[j] == FREE:
+        if model.jnt_type[j] == BALL:
+            segments.append(quat_step(qpos[qa:qa + 4], qvel[da:da + 3], h))
+        elif model.jnt_type[j] == FREE:
             pos = qpos[qa:qa + 3] + h * qvel[da:da + 3]
-            quat = qpos[qa + 3:qa + 7]
-            w = qvel[da + 3:da + 6]
-            wnorm = jnp.sqrt(jnp.sum(w * w) + 1e-18)
-            axis = w / wnorm
-            dq = pm.axis_angle_quat(axis, wnorm * h)
-            new_quat = pm.quat_mul(quat, dq)
-            new_quat = new_quat / jnp.sqrt(jnp.sum(new_quat * new_quat)
-                                           + 1e-18)
             segments.append(pos)
-            segments.append(new_quat)
+            segments.append(quat_step(qpos[qa + 3:qa + 7],
+                                      qvel[da + 3:da + 6], h))
         else:
             segments.append(qpos[qa:qa + 1] + h * qvel[da:da + 1])
     if not segments:

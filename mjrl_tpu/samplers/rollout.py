@@ -136,11 +136,28 @@ def sample_paths(num_traj, env, policy, eval_mode=False, horizon=1e6,
 def sample_data_batch(num_samples, env, policy, eval_mode=False, horizon=1e6,
                       base_seed=None, num_cpu=1, key=None, paths_per_call=None,
                       **kwargs):
-    """'samples' mode parity API (samplers/core.py:151-161)."""
+    """'samples' mode parity API (samplers/core.py:151-161).
+
+    Matches the reference's accounting exactly: keep collecting
+    fixed-size batches until the total number of VALID steps reaches
+    ``num_samples`` (core.py:173-177 loops with seed += 12345 per call).
+    For non-terminating envs one batch suffices; with early termination
+    (and autoreset off) masked-out padding cells don't count, so extra
+    batches of the same shape run through the already-compiled rollout.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0 if base_seed is None else int(base_seed))
     T = env.horizon if horizon is None or horizon >= 1e6 else int(horizon)
     n = num_traj_for_samples(int(num_samples), T)
-    return sample_paths(n, env, policy, eval_mode, T, base_seed, num_cpu,
-                        key=key)
+    paths, total = [], 0
+    for call in range(100):  # safety bound (reference loops unboundedly)
+        batch = sample_paths(n, env, policy, eval_mode, T,
+                             key=jax.random.fold_in(key, call))
+        paths += batch
+        total += sum(p["rewards"].shape[0] for p in batch)
+        if total >= num_samples:
+            break
+    return paths
 
 
 def _policy_parts(policy):

@@ -74,6 +74,24 @@ def test_hopper_rollout_masks_after_done():
             assert np.all(rew[i][first_zero:] == 0)
 
 
+def test_sample_data_batch_counts_valid_steps():
+    """'samples' mode must count VALID steps, not grid cells: with early
+    termination (autoreset off) it keeps collecting batches until the
+    total reaches num_samples (reference samplers/core.py:173-177)."""
+    from mjrl_tpu.models import GaussianMLP, Policy
+    from mjrl_tpu.samplers import sample_data_batch
+    env = envs.make("Hopper-v3")
+    # wild policy -> the hopper falls well before the horizon
+    pol = Policy(GaussianMLP(11, 3, hidden_sizes=(16,), init_log_std=1.0),
+                 seed=0)
+    paths = sample_data_batch(120, env, pol, horizon=40, base_seed=3)
+    total = sum(p["rewards"].shape[0] for p in paths)
+    assert total >= 120
+    # and termination really happened (otherwise this test is vacuous)
+    assert any(p["terminated"] for p in paths)
+    assert any(p["rewards"].shape[0] < 40 for p in paths)
+
+
 def test_half_cheetah_runs_forward_reward_sign():
     env = envs.make("HalfCheetah-v3", dtype=jnp.float64)
     s = env.reset(jax.random.PRNGKey(0))
