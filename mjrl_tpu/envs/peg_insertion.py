@@ -19,7 +19,11 @@ class PegEnv(MujocoLikeEnv):
     frame_skip = 4
     horizon = 50
 
-    def __init__(self, dtype=jnp.float32, solver="penalty"):
+    # default = implicit solver: contacts with the table/hole get true
+    # complementarity + boxed-cone friction instead of penalties, at a
+    # measured ~25% rollout-throughput cost (docs/BENCHMARKS.md) — viable
+    # because the dual solve never materializes the ~1.4k-row A matrix
+    def __init__(self, dtype=jnp.float32, solver="pgs"):
         builder = peg_insertion_model()
         self._target_sid = builder.names["site"]["target"]
         self._peg_sid = builder.names["site"]["peg_bottom"]

@@ -19,7 +19,10 @@ class Reacher7DOFEnv(MujocoLikeEnv):
     frame_skip = 4
     horizon = 50
 
-    def __init__(self, dtype=jnp.float32, solver="penalty"):
+    # default = implicit solver: the reacher works near its joint limits,
+    # where PGS matches MuJoCo's qacc to ~1% (vs ~67% for the penalty)
+    # at a measured ~17% rollout-throughput cost (docs/BENCHMARKS.md)
+    def __init__(self, dtype=jnp.float32, solver="pgs"):
         builder = reacher_model()
         self._target_sid = builder.names["site"]["target"]
         self._finger_sid = builder.names["site"]["finger"]

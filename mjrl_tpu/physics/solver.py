@@ -148,10 +148,12 @@ def solve_constraints(model: Model, mh, qacc_smooth, j, pos, active, k, b,
 
     # Minv J^T by column solves on the (already damped) mass matrix
     minv_jt = jax.vmap(lambda row: chol_solve_unrolled(mh, row))(j).T
-    a = j @ minv_jt                                   # (C, C)
-    diag = jnp.diagonal(a)
+    # A = J Minv J^T + diag(r) has rank <= nv, so it is NEVER materialized:
+    # A @ lam = J (Minv J^T lam) + r*lam costs O(C nv) per Jacobi sweep
+    # instead of O(C^2) — decisive for contact-rich models (peg insertion
+    # has ~1.4k static rows but nv = 7).
+    diag = jnp.sum(j * minv_jt.T, axis=-1)            # diag(J Minv J^T)
     r = (1.0 - D_MAX) / D_MAX * jnp.maximum(diag, 1e-10)
-    a = a + jnp.diag(r)
     diag_full = jnp.maximum(diag + r, 1e-10)
 
     rhs = aref - j @ qacc_smooth
@@ -160,7 +162,7 @@ def solve_constraints(model: Model, mh, qacc_smooth, j, pos, active, k, b,
     parent_safe = jnp.maximum(parent, 0)
 
     def body(_, lam):
-        resid = a @ lam - rhs
+        resid = j @ (minv_jt @ lam) + r * lam - rhs
         lam = lam - RELAX * resid / diag_full
         # unilateral rows: lambda >= 0; friction rows: boxed cone
         lam_uni = jnp.maximum(lam, 0.0)
