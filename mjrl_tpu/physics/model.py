@@ -200,6 +200,16 @@ def _geom_mass_inertia(gtype, size, density, mass):
     raise ValueError(f"unsupported geom type {gtype}")
 
 
+def _solver_id(solver):
+    try:
+        return {"penalty": PENALTY, "pgs": PGS}[solver]
+    except KeyError:
+        raise ValueError(
+            f"unknown solver {solver!r}: choose 'penalty' (explicit, fast,"
+            " approximate) or 'pgs' (implicit dual, MuJoCo-grade limits/"
+            "contacts)") from None
+
+
 @dataclass
 class _Body:
     parent: int
@@ -480,7 +490,7 @@ class ModelBuilder:
             site_body=tuple(s["body"] for s in self.sites),
             actuator_joint=tuple(a["joint"] for a in self.actuators),
             integrator=self.opt["integrator"],
-            solver={"penalty": PENALTY, "pgs": PGS}[solver],
+            solver=_solver_id(solver),
             contact_pairs=self._contact_pairs(),
             body_pos=arr([b.pos for b in self.bodies]),
             body_quat=arr([b.quat for b in self.bodies]),
