@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from mjrl_tpu.physics import math as pm
 from mjrl_tpu.physics.kinematics import Data
-from mjrl_tpu.physics.model import BALL, FREE, HINGE, JNT_NV, SLIDE, Model
+from mjrl_tpu.physics.model import (BALL, EULER, FREE, HINGE, JNT_NV, SLIDE,
+                                    Model)
 
 
 # ---------------------------------------------------------------------------
@@ -277,6 +278,55 @@ def limit_qacc(model: Model, qpos, qvel):
     dist = jnp.clip(dist, -LIMIT_WIDTH, LIMIT_WIDTH)
     aref = k * dist - b * qvel * active
     return model.dof_limited * active * aref
+
+
+def ball_limit_terms(model: Model, qpos):
+    """Rotation-angle limit terms for ball joints.
+
+    MuJoCo's ball limit constrains the total rotation angle theta =
+    2 atan2(|q_xyz|, |q_w|) to jnt_range[1]; the constraint Jacobian over
+    the joint's 3 (local angular velocity) dofs is -axis, with axis the
+    rotation axis flipped into the minimal-angle cover.
+
+    Returns a list of (j, dofadr, axis (3,), pos, k, b) — one entry per
+    ball joint (static count); ``pos`` = range[1] - theta is the feasible
+    distance (negative when violated).  Activity masking via
+    jnt_limited[j] is the caller's job (limitedness is a traced field).
+    """
+    out = []
+    for j in range(model.njnt):
+        if model.jnt_type[j] != BALL:
+            continue
+        qa = model.jnt_qposadr[j]
+        q = qpos[qa:qa + 4]
+        q = q / jnp.sqrt(jnp.sum(q * q) + 1e-18)
+        vnorm = jnp.sqrt(jnp.sum(q[1:] * q[1:]) + 1e-18)
+        theta = 2.0 * jnp.arctan2(vnorm, jnp.abs(q[0]))
+        axis = q[1:] / vnorm * jnp.sign(q[0] + (q[0] == 0))
+        pos = model.jnt_range[j, 1] - theta
+        floor = (4.0 if model.integrator == EULER else 2.0) * model.timestep
+        timeconst = jnp.maximum(model.limit_solref[j, 0], floor)
+        dampratio = model.limit_solref[j, 1]
+        k = 1.0 / jnp.maximum(
+            timeconst * timeconst * dampratio * dampratio, 1e-12)
+        b = 2.0 / jnp.maximum(timeconst, 1e-12)
+        out.append((j, model.jnt_dofadr[j], axis, pos, k, b))
+    return out
+
+
+def ball_limit_qacc(model: Model, qpos, qvel):
+    """Penalty-path reference acceleration for ball-joint limits
+    (the 3-dof analog of limit_qacc's per-dof response)."""
+    qacc = jnp.zeros((model.nv,), qvel.dtype)
+    for j, da, axis, pos, k, b in ball_limit_terms(model, qpos):
+        viol = jnp.minimum(pos, 0.0)                   # <= 0 when violated
+        active = (pos < 0).astype(qvel.dtype) * model.jnt_limited[j]
+        jrow = -axis                                    # J @ w = d(pos)/dt
+        jv = jrow[0] * qvel[da] + jrow[1] * qvel[da + 1] \
+            + jrow[2] * qvel[da + 2]
+        aref = (-k * jnp.clip(viol, -LIMIT_WIDTH, 0.0) - b * jv) * active
+        qacc = qacc.at[da:da + 3].add(jrow * aref)
+    return qacc
 
 
 def fluid_force(model: Model, data: Data, cvel):

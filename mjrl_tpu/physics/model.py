@@ -17,7 +17,9 @@ Supported joint types: slide, hinge (1 dof / 1 qpos each), ball
 post-joint body frame — MuJoCo conventions, validated against mjData
 probes) and free (6 dofs / 7 qpos: world position + wxyz quaternion; must
 sit on a direct child of the world, like MuJoCo floating bases).  Ball
-joint limits (total-rotation-angle constraints) are not implemented.
+joint limits constrain the total rotation angle to jnt_range[1]
+(dynamics.ball_limit_terms); quaternion springs and vector-gear motors
+remain unimplemented.
 """
 
 from dataclasses import dataclass, field
@@ -254,9 +256,10 @@ class ModelBuilder:
             assert self.bodies[body].parent == 0, \
                 "free joints require a direct child of the world"
         if _JNT_TYPES[jnt_type] == BALL and limited:
-            raise NotImplementedError(
-                "ball joint limits (rotation-angle constraints) are not "
-                "implemented; declare the joint unlimited")
+            # MuJoCo ball limits constrain the total rotation angle to
+            # range[1] (range[0] must be 0)
+            assert jnt_range is not None and float(jnt_range[0]) == 0.0, \
+                "ball joint range must be (0, max_angle)"
         if _JNT_TYPES[jnt_type] in (FREE, BALL) and stiffness:
             raise NotImplementedError(
                 "quaternion springs (stiffness on free/ball joints) are "

@@ -84,6 +84,21 @@ def constraint_rows(model: Model, data, cdof, cvel, qpos, qvel):
     mus.append(jnp.zeros((nv,), dtype))
     parents.append(np.full(nv, -1, np.int32))
 
+    # ---- ball-joint rotation-angle limits ------------------------------
+    from mjrl_tpu.physics.dynamics import ball_limit_terms
+    n_ball = 0
+    for bj, da, axis, bpos, bk, bb in ball_limit_terms(model, qpos):
+        n_ball += 1
+        jrow = jnp.zeros((nv,), dtype).at[da:da + 3].set(-axis)
+        rows.append(jrow[None])
+        poss.append(bpos[None])
+        actives.append((model.jnt_limited[bj]
+                        * (bpos < 0)).astype(dtype)[None])
+        ks.append(bk[None])
+        bs.append(bb[None])
+        mus.append(jnp.zeros((1,), dtype))
+        parents.append(np.full(1, -1, np.int32))
+
     # ---- contact normals ----------------------------------------------
     depths, points, normals, g1, g2 = find_contacts(model, data)
     C = int(depths.shape[0])
@@ -118,7 +133,8 @@ def constraint_rows(model: Model, data, cdof, cvel, qpos, qvel):
         t1 = pm.cross(normals, ref)
         t1 = t1 / (jnp.linalg.norm(t1, axis=-1, keepdims=True) + 1e-12)
         t2 = pm.cross(normals, t1)
-        normal_row0 = model.nv  # normals start right after the limits
+        # normals start after the per-dof limit rows and ball-limit rows
+        normal_row0 = model.nv + n_ball
         for tdir in (t1, t2):
             u_t = jnp.concatenate([pm.cross(points, tdir), tdir], axis=-1)
             j_t = coeff * sum(cdof[None, :, k] * u_t[:, None, k]

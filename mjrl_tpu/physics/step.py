@@ -78,6 +78,9 @@ def _forces_and_mass(model: Model, state: State, ctrl):
                                    m_diag)
     # joint limits as a reference acceleration (see dynamics.limit_qacc)
     qacc_ref = dyn.limit_qacc(model, state.qpos, state.qvel)
+    if BALL in model.jnt_type:
+        qacc_ref = qacc_ref + dyn.ball_limit_qacc(model, state.qpos,
+                                                  state.qvel)
     return m, qfrc, bias, qacc_ref, None
 
 

@@ -103,5 +103,60 @@ def main(n_states=40, seed=0):
           f"{n_states} states + Euler/RK4 trajectories")
 
 
+LIM_XML = """
+<mujoco>
+  <option timestep="0.002" gravity="0 0 -9.81"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint type="ball" limited="true" range="0 30" damping="0.05"
+             armature="0.003" solreflimit="0.02 1"/>
+      <geom type="capsule" fromto="0 0 0 0.35 0 0" size="0.035"/>
+      <body pos="0.35 0 0">
+        <joint type="hinge" axis="0 1 0" range="-60 60" damping="0.02"/>
+        <geom type="sphere" size="0.05" pos="0.08 0 0"/>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def main_limited(n_states=25, seed=11):
+    """Limit-ACTIVE ball states (rotation angle slightly beyond range[1]):
+    validates the rotation-angle constraint against MuJoCo's solver."""
+    m = mujoco.MjModel.from_xml_string(LIM_XML)
+    d = mujoco.MjData(m)
+    rng = np.random.RandomState(seed)
+    recs = dict(qpos=[], qvel=[], qacc=[], nefc=[], ncon=[])
+    tries = 0
+    while len(recs["qpos"]) < n_states and tries < 400:
+        tries += 1
+        # rotation angle just beyond the 30 deg limit, random axis
+        axis = rng.randn(3)
+        axis /= np.linalg.norm(axis)
+        ang = np.deg2rad(30.0) + rng.uniform(0.0, 0.1)
+        if rng.rand() < 0.3:
+            ang = rng.uniform(0.0, np.deg2rad(28.0))   # some inactive too
+        q = np.concatenate([[np.cos(ang / 2)], axis * np.sin(ang / 2)])
+        d.qpos[:4] = q
+        d.qpos[4] = rng.uniform(-0.9, 0.9)
+        d.qvel[:] = rng.uniform(-1.0, 1.0, m.nv)
+        mujoco.mj_forward(m, d)
+        if d.ncon > 0:
+            continue
+        recs["qpos"].append(d.qpos.copy())
+        recs["qvel"].append(d.qvel.copy())
+        recs["qacc"].append(d.qacc.copy())
+        recs["nefc"].append(d.nefc)
+        recs["ncon"].append(d.ncon)
+    out = {k: np.array(v) for k, v in recs.items()}
+    out["xml"] = np.array(LIM_XML)
+    path = os.path.join(OUT, "ball_limits.npz")
+    np.savez_compressed(path, **out)
+    act = int(np.sum(out["nefc"] > 0))
+    print(f"wrote {path}: {len(out['qpos'])} states, {act} limit-active")
+
+
 if __name__ == "__main__":
     main()
+    main_limited()
