@@ -9,6 +9,7 @@ from mjrl_tpu.envs.point_mass import PointMassEnv
 from mjrl_tpu.envs.swimmer import SwimmerEnv
 from mjrl_tpu.envs.reacher import Reacher7DOFEnv
 from mjrl_tpu.envs.peg_insertion import PegEnv
+from mjrl_tpu.envs.mjcf_env import MJCFEnv
 
 _REGISTRY = {}
 

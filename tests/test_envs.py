@@ -218,3 +218,57 @@ def test_gym_env_render():
     img = e.render()
     assert img.ndim == 3 and img.shape[-1] == 3
     assert img.max() > 0
+
+
+def test_mjcf_env_generic():
+    """MJCFEnv: any MJCF file becomes a functional env (obs = [qpos, qvel],
+    user reward/done), jit/vmap-safe."""
+    from mjrl_tpu.envs import MJCFEnv
+    XML = """
+    <mujoco>
+      <option timestep="0.002" gravity="0 0 -9.81"/>
+      <worldbody>
+        <body pos="0 0 1">
+          <joint name="b" type="ball" limited="true" range="0 40"
+                 damping="0.05"/>
+          <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.03"/>
+          <body pos="0.3 0 0">
+            <joint name="h" type="hinge" axis="0 1 0" damping="0.02"/>
+            <geom type="sphere" size="0.04"/>
+          </body>
+        </body>
+      </worldbody>
+      <actuator><motor joint="h" gear="5" ctrlrange="-1 1"/></actuator>
+    </mujoco>
+    """
+    env = MJCFEnv(xml_string=XML, frame_skip=2, horizon=30,
+                  reset_noise=0.01,
+                  reward_fn=lambda obs, act: -jnp.sum(obs[:4] ** 2),
+                  done_fn=lambda obs: obs[-1] > 1e6)
+    assert env.observation_dim == 5 + 4  # nq (ball 4 + hinge 1) + nv (3 + 1)
+    s = env.reset(jax.random.PRNGKey(0))
+    assert s.obs.shape == (env.model.nq + env.model.nv,)
+    step = jax.jit(env.step)
+    for _ in range(5):
+        s = step(s, jnp.ones(1))
+    assert np.isfinite(float(s.reward)) and not bool(s.done)
+
+    # batched rollout through the sampler
+    from mjrl_tpu.models import GaussianMLP
+    from mjrl_tpu.samplers import rollout_batch
+    pol = GaussianMLP(env.observation_dim, 1, hidden_sizes=(8,))
+    params, tr = pol.init(jax.random.PRNGKey(1))
+    batch = jax.jit(lambda p, t, k: rollout_batch(
+        env, pol, p, t, k, num_traj=3, horizon=10))(
+        params, tr, jax.random.PRNGKey(2))
+    assert batch["observations"].shape == (3, 10, env.observation_dim)
+    assert np.all(np.isfinite(np.asarray(batch["rewards"])))
+
+
+def test_mjcf_env_requires_actuators():
+    from mjrl_tpu.envs import MJCFEnv
+    import pytest
+    with pytest.raises(ValueError, match="actuator"):
+        MJCFEnv(xml_string="""
+        <mujoco><worldbody><body pos="0 0 1"><joint type="hinge"/>
+        <geom type="sphere" size="0.1"/></body></worldbody></mujoco>""")
