@@ -66,11 +66,23 @@ def gae_advantages(rewards, values, gamma, lam, terminated=False, mask=None):
         return adv
 
     terminated = jnp.asarray(terminated)
-    bootstrap = jnp.where(terminated, 0.0, values[-1])
-    v_next = jnp.concatenate([values[1:], bootstrap[None].astype(values.dtype)])
-    deltas = rewards + gamma * v_next - values
-    if mask is not None:
-        deltas = deltas * mask
+    if mask is None:
+        bootstrap = jnp.where(terminated, 0.0, values[-1]).astype(values.dtype)
+        v_next = jnp.concatenate([values[1:], bootstrap[None]])
+        deltas = rewards + gamma * v_next - values
+    else:
+        # The episode may end before the grid does (early termination with
+        # freeze-after-done padding).  The bootstrap must apply at the MASK
+        # boundary: the TD delta of the last VALID step uses 0 when
+        # terminated (reference process_samples.py:25-28), or V(last valid
+        # obs) when time-limit truncated — never V(frozen post-terminal
+        # obs).
+        idx_last = jnp.maximum(jnp.sum(mask).astype(jnp.int32) - 1, 0)
+        v_lastvalid = values[idx_last]
+        bootstrap = jnp.where(terminated, 0.0, v_lastvalid).astype(values.dtype)
+        v_next = jnp.concatenate([
+            jnp.where(mask[1:] > 0, values[1:], bootstrap), bootstrap[None]])
+        deltas = (rewards + gamma * v_next - values) * mask
     adv = discount_sum(deltas, gamma * lam)
     if mask is not None:
         adv = adv * mask

@@ -102,6 +102,41 @@ def test_masked_returns():
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+def test_masked_gae_bootstraps_at_mask_boundary():
+    """An episode shorter than the grid must bootstrap at its LAST VALID
+    step: 0 when terminated, V(last valid obs) when truncated — not the
+    value of the frozen post-terminal observation (reference
+    process_samples.py:25-28)."""
+    rng = np.random.RandomState(11)
+    Tg, Tv = 5, 3                       # grid length, valid prefix
+    rewards = np.zeros(Tg, np.float32)
+    rewards[:Tv] = rng.randn(Tv)
+    values = (rng.randn(Tg) + 10.0).astype(np.float32)  # large frozen V
+    mask = np.array([1, 1, 1, 0, 0], np.float32)
+    gamma, lam = 0.95, 0.97
+
+    for terminated in (True, False):
+        got = gae_advantages(jnp.asarray(rewards), jnp.asarray(values),
+                             gamma, lam, terminated=terminated,
+                             mask=jnp.asarray(mask))
+        # reference computation on the valid prefix only
+        boot = 0.0 if terminated else values[Tv - 1]
+        b1 = np.append(values[:Tv], boot)
+        deltas = rewards[:Tv] + gamma * b1[1:] - b1[:-1]
+        want = np_discount_sum(deltas, gamma * lam)
+        np.testing.assert_allclose(got[:Tv], want, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(got[Tv:], 0.0, atol=1e-7)
+
+    # full-mask path must be unchanged vs the unmasked computation
+    full = np.ones(Tg, np.float32)
+    got_full = gae_advantages(jnp.asarray(rewards), jnp.asarray(values),
+                              gamma, lam, terminated=False,
+                              mask=jnp.asarray(full))
+    want_full = gae_advantages(jnp.asarray(rewards), jnp.asarray(values),
+                               gamma, lam, terminated=False)
+    np.testing.assert_allclose(got_full, want_full, rtol=1e-6)
+
+
 def test_whiten():
     rng = np.random.RandomState(4)
     a = rng.randn(100).astype(np.float32) * 3 + 2
