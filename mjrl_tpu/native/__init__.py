@@ -11,8 +11,10 @@ Exposed ops (see src/pathops.cpp):
 """
 
 import ctypes
+import logging
 import os
 import subprocess
+import tempfile
 
 import numpy as np
 
@@ -22,6 +24,22 @@ _SO = os.path.join(_HERE, "_pathops.so")
 
 _lib = None
 _tried = False
+_log = logging.getLogger(__name__)
+
+
+def _compile():
+    """Compile to a temp file and atomically rename into place so that
+    concurrent importers never dlopen a partially written .so."""
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
+    os.close(fd)
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
+            check=True, capture_output=True)
+        os.rename(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load():
@@ -32,9 +50,7 @@ def _load():
     try:
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
-                check=True, capture_output=True)
+            _compile()
         lib = ctypes.CDLL(_SO)
         i64p = ctypes.POINTER(ctypes.c_int64)
         f32p = ctypes.POINTER(ctypes.c_float)
@@ -49,7 +65,9 @@ def _load():
                                        ctypes.c_int64, ctypes.c_double,
                                        ctypes.c_double, f64p]
         _lib = lib
-    except Exception:
+    except Exception as exc:
+        _log.warning("native pathops unavailable (%s); using the numpy "
+                     "fallback — results are identical, only slower", exc)
         _lib = None
     return _lib
 
