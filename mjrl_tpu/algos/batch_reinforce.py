@@ -286,15 +286,14 @@ class BatchREINFORCE:
                            - float(stats["surr_before"]))
 
     def _log_success(self, batch):
-        try:
-            fenv = self.fenv
-            if hasattr(fenv, "evaluate_success") and \
-                    "solved" in batch.get("env_infos", {}):
-                rate = fenv.evaluate_success(
-                    np.asarray(batch["env_infos"]["solved"]))
-                self.logger.log_kv("success_rate", rate)
-        except Exception:
-            pass
+        fenv = self.fenv
+        if hasattr(fenv, "evaluate_success") and \
+                "solved" in batch.get("env_infos", {}):
+            # a genuinely broken evaluate_success must surface, not be
+            # silently unlogged; only absence of the capability is benign
+            rate = fenv.evaluate_success(
+                np.asarray(batch["env_infos"]["solved"]))
+            self.logger.log_kv("success_rate", rate)
 
     # -- list-of-paths entry (for demo/BC flows and parity) --------------
     def train_from_paths(self, paths):

@@ -118,6 +118,28 @@ def num_traj_for_samples(num_samples, horizon):
     return max(1, math.ceil(num_samples / horizon))
 
 
+# jitted-rollout cache for the host parity APIs: one traced callable per
+# (env, policy-config, shape) so repeated eval calls (train_agent.py runs
+# one per iteration) never re-trace.  Keys hold strong refs to env/cfg so
+# id() cannot be reused by a collected object; the cache is tiny (a
+# handful of envs/policies per process).
+_ROLLOUT_CACHE = {}
+
+
+def _cached_rollout(env, cfg, num_traj, horizon, eval_mode,
+                    autoreset=False):
+    key = (id(env), id(cfg), int(num_traj), int(horizon), bool(eval_mode),
+           bool(autoreset))
+    hit = _ROLLOUT_CACHE.get(key)
+    if hit is None:
+        fn = jax.jit(partial(rollout_batch, env, cfg,
+                             num_traj=int(num_traj), horizon=int(horizon),
+                             eval_mode=bool(eval_mode),
+                             autoreset=bool(autoreset)))
+        hit = _ROLLOUT_CACHE[key] = (fn, env, cfg)
+    return hit[0]
+
+
 def sample_paths(num_traj, env, policy, eval_mode=False, horizon=1e6,
                  base_seed=None, num_cpu=1, key=None, **kwargs):
     """Host-facing parity API (samplers/core.py:99-111) -> list of path
@@ -127,8 +149,7 @@ def sample_paths(num_traj, env, policy, eval_mode=False, horizon=1e6,
         key = jax.random.PRNGKey(0 if base_seed is None else int(base_seed))
     params, transforms, cfg = _policy_parts(policy)
     T = env.horizon if horizon is None or horizon >= 1e6 else int(horizon)
-    batch = jax.jit(partial(rollout_batch, env, cfg, num_traj=int(num_traj),
-                            horizon=T, eval_mode=eval_mode))(
+    batch = _cached_rollout(env, cfg, num_traj, T, eval_mode)(
         params, transforms, key)
     return paths_to_list(batch)
 
@@ -172,25 +193,44 @@ def _policy_parts(policy):
 
 def paths_to_list(batch):
     """Batched paths pytree -> reference-format list of per-path dicts
-    (numpy), truncated to each path's valid length."""
+    (numpy), truncated to each path's valid length.
+
+    Autoreset batches (carrying a ``dones`` grid) are split on episode
+    boundaries so every returned dict is ONE episode with a correct
+    ``terminated`` flag — a grid row may contain several episodes plus a
+    truncated tail."""
     batch = jax.tree_util.tree_map(np.asarray, batch)
     n = batch["rewards"].shape[0]
+    autoreset = "dones" in batch
     out = []
-    for i in range(n):
-        mask = batch["mask"][i]
-        T = int(mask.sum())
+
+    def slice_path(i, lo, hi, terminated):
         agent_infos = {
-            "mean": batch["agent_mean"][i][:T],
+            "mean": batch["agent_mean"][i][lo:hi],
             "log_std": batch["agent_log_std"][i][0],
-            "evaluation": batch["agent_mean"][i][:T],
+            "evaluation": batch["agent_mean"][i][lo:hi],
         }
-        env_infos = {k: v[i][:T] for k, v in batch["env_infos"].items()}
-        out.append(dict(
-            observations=batch["observations"][i][:T],
-            actions=batch["actions"][i][:T],
-            rewards=batch["rewards"][i][:T],
+        env_infos = {k: v[i][lo:hi] for k, v in batch["env_infos"].items()}
+        return dict(
+            observations=batch["observations"][i][lo:hi],
+            actions=batch["actions"][i][lo:hi],
+            rewards=batch["rewards"][i][lo:hi],
             agent_infos=agent_infos,
             env_infos=env_infos,
-            terminated=bool(batch["terminated"][i]),
-        ))
+            terminated=bool(terminated),
+        )
+
+    for i in range(n):
+        if autoreset:
+            dones = batch["dones"][i]
+            ends = np.flatnonzero(dones > 0)
+            lo = 0
+            for e in ends:
+                out.append(slice_path(i, lo, int(e) + 1, True))
+                lo = int(e) + 1
+            if lo < dones.shape[0]:        # truncated trailing episode
+                out.append(slice_path(i, lo, dones.shape[0], False))
+        else:
+            T = int(batch["mask"][i].sum())
+            out.append(slice_path(i, 0, T, batch["terminated"][i]))
     return out

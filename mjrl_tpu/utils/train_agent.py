@@ -123,11 +123,11 @@ def train_agent(job_name, agent,
                                      for p in eval_paths])
             if agent.save_logs:
                 agent.logger.log_kv("eval_score", mean_pol_perf)
-                try:
+                # only absence of the capability is benign (not every env
+                # defines success); real evaluate_success failures raise
+                if hasattr(fenv, "evaluate_success"):
                     eval_success = fenv.evaluate_success(eval_paths)
                     agent.logger.log_kv("eval_success", eval_success)
-                except Exception:
-                    pass
 
         if i % save_freq == 0 and i > 0:
             if agent.save_logs:

@@ -121,6 +121,60 @@ def test_train_from_paths_api(pm_env):
     assert np.isfinite(stats[0])
 
 
+def test_sample_paths_does_not_retrace(pm_env):
+    """Host parity API must reuse one jitted callable per
+    (env, policy-config, shape): the second eval call in train_agent must
+    not re-trace (VERDICT r1 item 7)."""
+    from mjrl_tpu.samplers import rollout
+
+    pol = Policy(GaussianMLP(6, 2, hidden_sizes=(16,)), seed=3)
+    traces = []
+    orig = rollout.rollout_batch
+
+    def counting(*a, **kw):
+        traces.append(1)
+        return orig(*a, **kw)
+
+    rollout.rollout_batch = counting
+    try:
+        rollout._ROLLOUT_CACHE.clear()
+        sample_paths(2, pm_env.env, pol, base_seed=0, horizon=6)
+        n_first = len(traces)
+        assert n_first >= 1
+        sample_paths(2, pm_env.env, pol, base_seed=1, horizon=6)
+        assert len(traces) == n_first     # second call: no new trace
+    finally:
+        rollout.rollout_batch = orig
+        rollout._ROLLOUT_CACHE.clear()
+
+
+def test_paths_to_list_splits_autoreset_episodes():
+    """With autoreset, a grid row can contain several episodes; the host
+    list API must split them at done boundaries with correct terminated
+    flags (VERDICT r1 weak 8)."""
+    from mjrl_tpu.samplers.rollout import paths_to_list
+
+    T = 7
+    dones = np.array([[0, 0, 1, 0, 1, 0, 0]], np.float32)  # 2 eps + tail
+    batch = dict(
+        observations=np.arange(T, dtype=np.float32).reshape(1, T, 1),
+        actions=np.zeros((1, T, 1), np.float32),
+        rewards=np.arange(T, dtype=np.float32).reshape(1, T),
+        agent_mean=np.zeros((1, T, 1), np.float32),
+        agent_log_std=np.zeros((1, T, 1), np.float32),
+        mask=np.ones((1, T), np.float32),
+        dones=dones,
+        terminated=np.array([False]),
+        env_infos={"solved": np.zeros((1, T), np.float32)},
+    )
+    paths = paths_to_list(batch)
+    assert len(paths) == 3
+    assert [len(p["rewards"]) for p in paths] == [3, 2, 2]
+    assert [p["terminated"] for p in paths] == [True, True, False]
+    np.testing.assert_allclose(paths[1]["rewards"], [3.0, 4.0])
+    np.testing.assert_allclose(paths[2]["observations"][:, 0], [5.0, 6.0])
+
+
 def test_autoreset_rollout_and_training():
     """Autoreset mode: every grid cell valid; done-aware GAE; Hopper-style
     terminating env trains without wasted padding."""
