@@ -90,9 +90,9 @@ def reacher_model(dtype=None):
     (assets/sawyer.xml).  Defaults: armature 0.004, damping 0.8, limited;
     geom friction (.5, .1, .1), margin 0.002, contype/conaffinity 0."""
     b = ModelBuilder(timestep=0.01, gravity=(0, 0, 0), integrator="euler")
-    gdef = dict(contype=0, conaffinity=0, friction=(.5, .1, .1), margin=0.002)
+    gdef = dict(contype=0, conaffinity=0, friction=(.5, .1, .1), margin=0.002, condim=1)
     b.add_geom(0, "plane", size=(1, 1, 0.1), pos=(0, 0.5, -0.425),
-               contype=1, conaffinity=1, friction=(.5, .1, .1), margin=0.002,
+               contype=1, conaffinity=1, friction=(.5, .1, .1), margin=0.002, condim=1,
                name="table")
     b.add_site(0, pos=(0.1, 0.1, 0.1), name="target")
 
@@ -150,7 +150,7 @@ def reacher_model(dtype=None):
     j8 = b.add_joint(b8, "hinge", axis=(1, 0, 0), jnt_range=(-1.5, 1.5),
                      damping=0.8, limited=True, **jdef)
     b.add_geom(b8, "sphere", size=(0.08,), pos=(0.03, 0, 0), contype=1,
-               conaffinity=1, friction=(.5, .1, .1), margin=0.002)
+               conaffinity=1, friction=(.5, .1, .1), margin=0.002, condim=1)
     b.add_site(b8, pos=(0, 0, 0), name="finger")
 
     for j, gear in [(j0, 20), (j1, 10), (j2, 10), (j4, 10), (j5, 10),
@@ -171,7 +171,7 @@ def peg_insertion_model(dtype=None):
     limited; geom friction (.5, .1, .1), margin 0.002, contype 0,
     conaffinity 1."""
     b = ModelBuilder(timestep=0.01, gravity=(0, 0, 0), integrator="rk4")
-    gdef = dict(contype=0, conaffinity=1, friction=(.5, .1, .1), margin=0.002)
+    gdef = dict(contype=0, conaffinity=1, friction=(.5, .1, .1), margin=0.002, condim=1)
     jdef = dict(armature=0.04)
 
     b0 = b.add_body(0, pos=(0, -0.188, 0), name="r_shoulder_pan_link")
@@ -239,7 +239,7 @@ def peg_insertion_model(dtype=None):
     peg = b.add_body(tool, pos=(0, 0, 0), name="peg")
     b.add_geom(peg, "cylinder", size=(0.028,),
                fromto=(0, 0, -0.15, 0, 0, 0.15), density=2000,
-               contype=2, conaffinity=1, friction=(.5, .1, .1), margin=0.002,
+               contype=2, conaffinity=1, friction=(.5, .1, .1), margin=0.002, condim=1,
                name="peg_geom")
     b.add_site(peg, pos=(0, 0, -0.15), name="peg_bottom")
 
@@ -260,7 +260,7 @@ def peg_insertion_model(dtype=None):
                fromto=(0, 0, 0, 0.09137, 0.0, 0), **gdef)
 
     # hole fixture + walls (boxes with contype 1, conaffinity 1)
-    gbox = dict(contype=1, conaffinity=1, friction=(.5, .1, .1), margin=0.002)
+    gbox = dict(contype=1, conaffinity=1, friction=(.5, .1, .1), margin=0.002, condim=1)
     g4 = b.add_body(0, pos=(0.0, 0.266, -0.47),
                     quat=_axisangle_quat((1, 0, 0), 0.05), name="g4")
     b.add_geom(g4, "box", size=(0.01, 0.003, 0.05), **gbox)

@@ -43,7 +43,8 @@ CONTACT_WIDTH = 0.02
 def _sphere_plane(c, r, p0, n):
     d = jnp.dot(c - p0, n)
     depth = r - d
-    point = c - n * d
+    # MuJoCo convention: contact point midway between the two surfaces
+    point = c - n * (0.5 * (d + r))
     return depth, point, n
 
 
@@ -52,10 +53,13 @@ def _segment_ends(xpos, xmat, half):
     return xpos - axis * half, xpos + axis * half
 
 
-def _capsule_plane(xpos, xmat, r, half, p0, n):
+def _capsule_plane(xpos, xmat, r, half, p0, n, end):
+    """End-sphere contact of a capsule with a plane.  MuJoCo's
+    plane-capsule collider emits up to TWO contact points (one per end
+    cap) — both are needed for foot/torso torque balance on locomotion
+    models, so each pair contributes two static rows (end = 0 or 1)."""
     a, b = _segment_ends(xpos, xmat, half)
-    da, db = jnp.dot(a - p0, n), jnp.dot(b - p0, n)
-    c = jnp.where(da < db, a, b)
+    c = jnp.where(end > 0.5, b, a)
     return _sphere_plane(c, r, p0, n)
 
 
@@ -70,7 +74,8 @@ def _sphere_box(c, r, bpos, bmat, bsize):
     n_inside = jnp.zeros(3, c.dtype).at[pen_axis].set(sign)
     n_local = jnp.where(inside, n_inside, delta / dist)
     depth = jnp.where(inside, r + jnp.min(bsize - jnp.abs(cl)), r - dist)
-    point_local = jnp.where(inside, cl, clamped)
+    # contact point midway between the box surface and the sphere surface
+    point_local = jnp.where(inside, cl, clamped) - 0.5 * depth * n_local
     # normal points from box into sphere; we emit (box=geom1, sphere=geom2)
     return depth, bmat @ point_local + bpos, bmat @ n_local
 
@@ -101,7 +106,10 @@ def _capsule_capsule(x1, m1, r1, h1, x2, m2, r2, h2):
     c1, c2 = _closest_segment_segment(a1, b1, a2, b2)
     d = c2 - c1
     dist = jnp.linalg.norm(d) + 1e-12
-    return (r1 + r2) - dist, 0.5 * (c1 + c2), d / dist
+    n = d / dist
+    # midpoint of the two surface points (exact when r1 != r2)
+    point = 0.5 * ((c1 + n * r1) + (c2 - n * r2))
+    return (r1 + r2) - dist, point, n
 
 
 # ---------------------------------------------------------------------------
@@ -121,7 +129,8 @@ def _grouped_pairs(model: Model):
         if ta == PLANE and tb == SPHERE:
             groups["plane_sphere"].append((a, b))
         elif ta == PLANE and tb in (CAPSULE, CYLINDER):
-            groups["plane_capsule"].append((a, b))
+            for k in (0, 1):    # one contact per end cap (MuJoCo manifold)
+                groups["plane_capsule"].append((a, b, k))
         elif ta == BOX and tb == SPHERE:
             groups["box_sphere"].append((a, b))
         elif ta == BOX and tb in (CAPSULE, CYLINDER):
@@ -131,6 +140,21 @@ def _grouped_pairs(model: Model):
             groups["capsule_capsule"].append((a, b))
         # unsupported pairs (e.g. static box-box) are skipped
     return groups
+
+
+def contact_geom_ids(model: Model):
+    """Static (g1, g2) numpy index arrays in the exact emission order of
+    ``find_contacts`` — lets callers partition contact rows at trace time
+    (e.g. by condim)."""
+    groups = _grouped_pairs(model)
+    order = []
+    for key in ("plane_sphere", "plane_capsule", "box_sphere", "box_axis",
+                "capsule_capsule"):
+        order += [(p[0], p[1]) for p in groups[key]]
+    if not order:
+        return (np.zeros(0, np.int32), np.zeros(0, np.int32))
+    return (np.array([p[0] for p in order], np.int32),
+            np.array([p[1] for p in order], np.int32))
 
 
 def find_contacts(model: Model, data):
@@ -154,9 +178,11 @@ def find_contacts(model: Model, data):
         out.append((d, p, n, i1, i2))
     if groups["plane_capsule"]:
         i1, i2 = idx(groups["plane_capsule"], 0), idx(groups["plane_capsule"], 1)
+        ends = jnp.asarray(np.array([p[2] for p in groups["plane_capsule"]],
+                                    np.float32))
         d, p, n = jax.vmap(_capsule_plane)(
             gx[i2], gm[i2], size[i2, 0], size[i2, 1], gx[i1],
-            gm[i1][..., :, 2])
+            gm[i1][..., :, 2], ends)
         out.append((d, p, n, i1, i2))
     if groups["box_sphere"]:
         i1, i2 = idx(groups["box_sphere"], 0), idx(groups["box_sphere"], 1)
@@ -193,7 +219,9 @@ def find_contacts(model: Model, data):
     normals = jnp.concatenate([o[2] for o in out])
     g1 = jnp.concatenate([o[3] for o in out])
     g2 = jnp.concatenate([o[4] for o in out])
-    margin = jnp.maximum(model.geom_margin[g1], model.geom_margin[g2])
+    # MuJoCo combines pair margins by SUM (includemargin = margin1 +
+    # margin2, verified empirically); activation is dist < includemargin
+    margin = model.geom_margin[g1] + model.geom_margin[g2]
     return depths + margin, points, normals, g1, g2
 
 

@@ -32,6 +32,19 @@ def _floats(s):
     return np.array([float(x) for x in s.split()])
 
 
+def _solparam(attrib, key, default):
+    """solref/solimp attributes: a partial spec keeps MuJoCo defaults for
+    the trailing components."""
+    if key not in attrib:
+        return tuple(default)
+    vals = list(_floats(attrib[key]))
+    return tuple(vals + list(default)[len(vals):])
+
+
+_SOLIMP_DEFAULT = (0.9, 0.95, 0.001, 0.5, 2.0)
+_SOLREF_DEFAULT = (0.02, 1.0)
+
+
 def _friction3(s):
     """Partial friction specs keep MuJoCo defaults for the missing
     torsional/rolling components."""
@@ -155,6 +168,9 @@ def load_mjcf(path=None, xml_string=None):
             conaffinity=int(a.get("conaffinity", "1")),
             friction=_friction3(a.get("friction", "1 0.005 0.0001")),
             margin=float(a.get("margin", "0")),
+            solref=_solparam(a, "solref", _SOLREF_DEFAULT),
+            solimp=_solparam(a, "solimp", _SOLIMP_DEFAULT),
+            condim=int(a.get("condim", "3")),
             name=a.get("name"))
         if "fromto" in a:
             kwargs["fromto"] = tuple(_floats(a["fromto"]))
@@ -183,7 +199,8 @@ def load_mjcf(path=None, xml_string=None):
             armature=float(a.get("armature", "0")),
             stiffness=float(a.get("stiffness", "0")),
             ref=float(a.get("ref", "0")) * scale,
-            solref=tuple(_floats(a.get("solreflimit", "0.02 1"))),
+            solref=_solparam(a, "solreflimit", _SOLREF_DEFAULT),
+            solimp=_solparam(a, "solimplimit", _SOLIMP_DEFAULT),
             name=a.get("name"))
 
     def add_site(body_id, s, cls):

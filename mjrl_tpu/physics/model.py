@@ -78,6 +78,11 @@ class Model(struct.PyTreeNode):
     # collision pairs: tuple of (geom1, geom2) indices, computed at build
     contact_pairs: Tuple[Tuple[int, int], ...] = struct.field(
         pytree_node=False, default=())
+    # contact dimensionality per geom (1 = frictionless normal, 3 =
+    # normal + tangential friction); pair condim = max (MuJoCo rule).
+    # Static: it decides the constraint-row structure at trace time.
+    geom_condim: Tuple[int, ...] = struct.field(pytree_node=False,
+                                                default=())
 
     # ---- numeric fields (jnp leaves) ----
     body_pos: Any = None          # (nbody, 3) frame offset in parent frame
@@ -99,11 +104,15 @@ class Model(struct.PyTreeNode):
     dof_limited: Any = None       # (nv,)
     dof_range: Any = None         # (nv, 2)
     dof_solref: Any = None        # (nv, 2)
+    dof_solimp: Any = None        # (nv, 5) (d0, dwidth, width, mid, power)
     dof_stiffness: Any = None     # (nv,)
     dof_ref: Any = None           # (nv,)
     dof_qpos_idx: Tuple[int, ...] = struct.field(pytree_node=False,
                                                  default=())
+    dof_invweight0: Any = None    # (nv,) diag(M^-1) at qpos0
     limit_solref: Any = None      # (njnt, 2) (timeconst, dampratio)
+    limit_solimp: Any = None      # (njnt, 5)
+    body_invweight0: Any = None   # (nbody, 2) mean CoM inv inertia (trn,rot)
     gear: Any = None              # (nu,)
     ctrlrange: Any = None         # (nu, 2)
     ctrllimited: Any = None       # (nu,) float mask
@@ -113,6 +122,7 @@ class Model(struct.PyTreeNode):
     geom_friction: Any = None     # (ngeom, 3)
     geom_margin: Any = None       # (ngeom,)
     geom_solref: Any = None       # (ngeom, 2)
+    geom_solimp: Any = None       # (ngeom, 5)
     site_pos: Any = None          # (nsite, 3) in body frame
     site_quat: Any = None         # (nsite, 4)
     timestep: Any = None          # scalar
@@ -202,14 +212,48 @@ def _geom_mass_inertia(gtype, size, density, mass):
     raise ValueError(f"unsupported geom type {gtype}")
 
 
+def _invweights(model):
+    """MuJoCo mj_setConst inverse-weight tables, evaluated at qpos0 on the
+    host CPU (one-time, at model build): ``dof_invweight0 = diag(M0^-1)``
+    and ``body_invweight0[b] = (trace(Jc M0^-1 Jc^T)/3, trace(Jr M0^-1
+    Jr^T)/3)`` with Jc/Jr the CoM translational/rotational Jacobians.
+    These feed the constraint solver's diagonal regularizer (solver.py),
+    matching MuJoCo's diagApprox exactly (verified vs mjModel tables)."""
+    import jax
+    from mjrl_tpu.physics import dynamics as dyn
+    from mjrl_tpu.physics.kinematics import fwd_kinematics
+    with jax.default_device(jax.devices("cpu")[0]):
+        data = fwd_kinematics(model, model.qpos0)
+        cdof = dyn.compute_cdof(model, data)
+        qvel0 = jnp.zeros((model.nv,), model.qpos0.dtype)
+        cvel, cdofdot = dyn.compute_velocities(model, data, cdof, qvel0)
+        m, _ = dyn.mass_and_bias(model, data, cdof, cvel, cdofdot, qvel0)
+    m = np.asarray(m, np.float64)
+    cdof_np = np.asarray(cdof, np.float64)
+    xipos = np.asarray(data.xipos, np.float64)
+    minv = np.linalg.inv(m)
+    dof_iw = np.diag(minv).copy()
+    mask = np.asarray(dyn.ancestor_mask(model), np.float64)   # (nbody, nv)
+    body_iw = np.zeros((model.nbody, 2))
+    ang, lin = cdof_np[:, :3], cdof_np[:, 3:]
+    for b in range(1, model.nbody):
+        mk = mask[b][:, None]
+        jt = (lin + np.cross(ang, xipos[b][None, :])) * mk    # (nv, 3)
+        jr = ang * mk
+        body_iw[b, 0] = np.trace(jt.T @ minv @ jt) / 3.0
+        body_iw[b, 1] = np.trace(jr.T @ minv @ jr) / 3.0
+    return dof_iw, body_iw
+
+
 def _solver_id(solver):
     try:
-        return {"penalty": PENALTY, "pgs": PGS}[solver]
+        return {"penalty": PENALTY, "pgs": PGS, "newton": PGS,
+                "implicit": PGS}[solver]
     except KeyError:
         raise ValueError(
             f"unknown solver {solver!r}: choose 'penalty' (explicit, fast,"
-            " approximate) or 'pgs' (implicit dual, MuJoCo-grade limits/"
-            "contacts)") from None
+            " approximate) or 'newton' (implicit primal Newton, MuJoCo-"
+            "grade limits/contacts; aliases 'pgs', 'implicit')") from None
 
 
 @dataclass
@@ -248,7 +292,8 @@ class ModelBuilder:
 
     def add_joint(self, body, jnt_type, axis=(0, 0, 1), pos=(0, 0, 0),
                   jnt_range=None, damping=0.0, armature=0.0, stiffness=0.0,
-                  ref=0.0, limited=None, solref=(0.02, 1.0), name=None):
+                  ref=0.0, limited=None, solref=(0.02, 1.0),
+                  solimp=(0.9, 0.95, 0.001, 0.5, 2.0), name=None):
         if limited is None:
             limited = jnt_range is not None
         if _JNT_TYPES[jnt_type] == FREE:
@@ -273,7 +318,8 @@ class ModelBuilder:
             range=np.asarray(jnt_range if jnt_range is not None else (0.0, 0.0),
                              np.float64),
             limited=float(bool(limited)), damping=damping, armature=armature,
-            stiffness=stiffness, ref=ref, solref=np.asarray(solref, np.float64)))
+            stiffness=stiffness, ref=ref, solref=np.asarray(solref, np.float64),
+            solimp=np.asarray(solimp, np.float64)))
         self.bodies[body].joints.append(jid)
         if name:
             self.names["joint"][name] = jid
@@ -282,7 +328,13 @@ class ModelBuilder:
     def add_geom(self, body, gtype, size=(0, 0, 0), pos=(0, 0, 0),
                  quat=(1, 0, 0, 0), fromto=None, density=1000.0, mass=None,
                  contype=1, conaffinity=1, friction=(1.0, 0.005, 0.0001),
-                 margin=0.0, solref=(0.02, 1.0), name=None):
+                 margin=0.0, solref=(0.02, 1.0),
+                 solimp=(0.9, 0.95, 0.001, 0.5, 2.0), condim=3, name=None):
+        if condim not in (1, 3):
+            raise NotImplementedError(
+                f"condim {condim} not supported (1 = frictionless, 3 = "
+                "tangential friction; torsional/rolling condim 4/6 are not "
+                "implemented)")
         size = np.array(list(size) + [0.0] * (3 - len(size)), np.float64)
         pos = np.asarray(pos, np.float64)
         quat = np.asarray(quat, np.float64)
@@ -298,7 +350,8 @@ class ModelBuilder:
             density=density, mass=mass, contype=int(contype),
             conaffinity=int(conaffinity),
             friction=np.asarray(friction, np.float64), margin=margin,
-            solref=np.asarray(solref, np.float64)))
+            solref=np.asarray(solref, np.float64),
+            solimp=np.asarray(solimp, np.float64), condim=int(condim)))
         self.bodies[body].geoms.append(gid)
         if name:
             self.names["geom"][name] = gid
@@ -453,6 +506,7 @@ class ModelBuilder:
         dof_limited = np.zeros(nv)
         dof_range = np.zeros((nv, 2))
         dof_solref = np.tile([0.02, 1.0], (nv, 1))
+        dof_solimp = np.tile([0.9, 0.95, 0.001, 0.5, 2.0], (nv, 1))
         dof_stiffness = np.zeros(nv)
         dof_ref = np.zeros(nv)
         dof_qpos_idx = np.zeros(nv, np.int64)
@@ -475,6 +529,7 @@ class ModelBuilder:
                 dof_limited[da] = x["limited"]
                 dof_range[da] = x["range"]
                 dof_solref[da] = x["solref"]
+                dof_solimp[da] = x["solimp"]
                 dof_stiffness[da] = x["stiffness"]
                 dof_ref[da] = x["ref"]
                 dof_qpos_idx[da] = qa
@@ -490,6 +545,7 @@ class ModelBuilder:
             jnt_dofadr=tuple(jnt_dofadr),
             geom_body=tuple(g["body"] for g in self.geoms),
             geom_type=tuple(g["type"] for g in self.geoms),
+            geom_condim=tuple(g["condim"] for g in self.geoms),
             site_body=tuple(s["body"] for s in self.sites),
             actuator_joint=tuple(a["joint"] for a in self.actuators),
             integrator=self.opt["integrator"],
@@ -511,10 +567,12 @@ class ModelBuilder:
             dof_limited=arr(dof_limited),
             dof_range=arr(dof_range),
             dof_solref=arr(dof_solref),
+            dof_solimp=arr(dof_solimp),
             dof_stiffness=arr(dof_stiffness),
             dof_ref=arr(dof_ref),
             dof_qpos_idx=tuple(int(i) for i in dof_qpos_idx),
             limit_solref=arr([x["solref"] for x in j]).reshape(njnt, 2),
+            limit_solimp=arr([x["solimp"] for x in j]).reshape(njnt, 5),
             gear=arr([a["gear"] for a in self.actuators]).reshape(nu),
             ctrlrange=arr([a["ctrlrange"] for a in self.actuators]).reshape(nu, 2),
             ctrllimited=arr([a["ctrllimited"] for a in self.actuators]).reshape(nu),
@@ -524,6 +582,7 @@ class ModelBuilder:
             geom_friction=arr([g["friction"] for g in self.geoms]).reshape(ngeom, 3),
             geom_margin=arr([g["margin"] for g in self.geoms]).reshape(ngeom),
             geom_solref=arr([g["solref"] for g in self.geoms]).reshape(ngeom, 2),
+            geom_solimp=arr([g["solimp"] for g in self.geoms]).reshape(ngeom, 5),
             site_pos=arr([s["pos"] for s in self.sites]).reshape(nsite, 3),
             site_quat=arr([s["quat"] for s in self.sites]).reshape(nsite, 4),
             timestep=arr(self.opt["timestep"]),
@@ -531,4 +590,6 @@ class ModelBuilder:
             viscosity=arr(self.opt["viscosity"]),
             density=arr(self.opt["density"]),
         )
-        return model
+        dof_iw, body_iw = _invweights(model)
+        return model.replace(dof_invweight0=arr(dof_iw),
+                             body_invweight0=arr(body_iw))

@@ -84,70 +84,100 @@ def _forces_and_mass(model: Model, state: State, ctrl):
     return m, qfrc, bias, qacc_ref, None
 
 
-def qacc_smooth(model: Model, state: State, ctrl):
-    """qacc = M^-1 (qfrc_total - bias) + limit reference acceleration
-    (penalty path) or the implicit constrained acceleration (PGS path)."""
+def _qacc(model: Model, state: State, ctrl, warm=None):
+    """Forward-dynamics acceleration -> (qacc, warm').  ``warm`` is an
+    optional (qacc_seed (nv,), flag scalar) pair for the implicit solver;
+    warm' re-seeds the next substep/stage (None on the penalty path)."""
     m, qfrc, bias, qacc_ref, ctx = _forces_and_mass(model, state, ctrl)
     if model.solver == PGS:
         from mjrl_tpu.physics.solver import constrained_qacc
-        data, cdof, cvel = ctx
-        return constrained_qacc(model, data, cdof, cvel, state.qpos,
-                                state.qvel, m, qfrc - bias)
-    return spd_solve(m, qfrc - bias) + qacc_ref
+        data, cdof, _ = ctx
+        qacc, _ = constrained_qacc(model, data, cdof, state.qpos,
+                                   state.qvel, m, qfrc - bias, warm)
+        return qacc, (qacc, jnp.ones((), qacc.dtype))
+    return spd_solve(m, qfrc - bias) + qacc_ref, None
 
 
-def _euler_step(model: Model, state: State, ctrl):
+def qacc_smooth(model: Model, state: State, ctrl):
+    """qacc = M^-1 (qfrc_total - bias) + limit reference acceleration
+    (penalty path) or the implicit constrained acceleration (Newton
+    path) — MuJoCo's mj_forward qacc."""
+    return _qacc(model, state, ctrl)[0]
+
+
+def _euler_step(model: Model, state: State, ctrl, warm=None):
     h = model.timestep
     m, qfrc, bias, qacc_ref, ctx = _forces_and_mass(model, state, ctrl)
     # implicit joint damping: M + h diag(B)
     mh = m + h * jnp.diag(model.dof_damping)
     if model.solver == PGS:
         from mjrl_tpu.physics.solver import constrained_qacc
-        data, cdof, cvel = ctx
-        qacc = constrained_qacc(model, data, cdof, cvel, state.qpos,
-                                state.qvel, mh, qfrc - bias)
+        data, cdof, _ = ctx
+        # constraint QP against M (matching mj_forward), then mj_Euler's
+        # implicit damping integrates smooth + constraint force with M+hB
+        qacc_c, a0 = constrained_qacc(model, data, cdof, state.qpos,
+                                      state.qvel, m, qfrc - bias, warm)
+        qfrc_con = m @ (qacc_c - a0)
+        qacc = spd_solve(mh, qfrc - bias + qfrc_con)
+        warm_out = (qacc_c, jnp.ones((), qacc.dtype))
     else:
         qacc = spd_solve(mh, qfrc - bias) + qacc_ref
+        warm_out = None
     qvel = state.qvel + h * qacc
     qpos = integrate_pos(model, state.qpos, qvel, h)
-    return State(qpos=qpos, qvel=qvel)
+    return State(qpos=qpos, qvel=qvel), warm_out
 
 
-def _rk4_step(model: Model, state: State, ctrl):
+def _rk4_step(model: Model, state: State, ctrl, warm=None):
     h = model.timestep
 
-    def deriv(s):
-        return s.qvel, qacc_smooth(model, s, ctrl)
+    def deriv(s, w):
+        qacc, w2 = _qacc(model, s, ctrl, w)
+        return s.qvel, qacc, w2
 
-    k1_p, k1_v = deriv(state)
+    k1_p, k1_v, w = deriv(state, warm)
     s2 = State(qpos=integrate_pos(model, state.qpos, k1_p, 0.5 * h),
                qvel=state.qvel + 0.5 * h * k1_v)
-    k2_p, k2_v = deriv(s2)
+    k2_p, k2_v, w = deriv(s2, w)
     s3 = State(qpos=integrate_pos(model, state.qpos, k2_p, 0.5 * h),
                qvel=state.qvel + 0.5 * h * k2_v)
-    k3_p, k3_v = deriv(s3)
+    k3_p, k3_v, w = deriv(s3, w)
     s4 = State(qpos=integrate_pos(model, state.qpos, k3_p, h),
                qvel=state.qvel + h * k3_v)
-    k4_p, k4_v = deriv(s4)
+    k4_p, k4_v, w = deriv(s4, w)
     qvel_avg = (k1_p + 2 * k2_p + 2 * k3_p + k4_p) / 6.0
     qpos = integrate_pos(model, state.qpos, qvel_avg, h)
     qvel = state.qvel + (h / 6.0) * (k1_v + 2 * k2_v + 2 * k3_v + k4_v)
-    return State(qpos=qpos, qvel=qvel)
+    return State(qpos=qpos, qvel=qvel), w
+
+
+def step_warm(model: Model, state: State, ctrl, warm=None):
+    """One physics timestep -> (state', warm').  warm'/warm seed the
+    implicit solver's Newton iteration across consecutive substeps
+    (MuJoCo's qacc_warmstart); None for the penalty path."""
+    if model.integrator == RK4:
+        return _rk4_step(model, state, ctrl, warm)
+    return _euler_step(model, state, ctrl, warm)
 
 
 def step(model: Model, state: State, ctrl):
     """One physics timestep with the model's integrator."""
-    if model.integrator == RK4:
-        return _rk4_step(model, state, ctrl)
-    return _euler_step(model, state, ctrl)
+    return step_warm(model, state, ctrl)[0]
 
 
 def step_n(model: Model, state: State, ctrl, n: int):
     """``frame_skip`` sub-steps with constant ctrl (mujoco_env.py:120-126's
-    do_simulation).  Uses lax.scan to keep the HLO compact."""
+    do_simulation).  Uses lax.scan to keep the HLO compact; the implicit
+    solver's qacc warm start is threaded through the scan carry."""
+    if model.solver == PGS:
+        warm0 = (jnp.zeros_like(state.qvel), jnp.zeros((), state.qvel.dtype))
+    else:
+        warm0 = None
 
-    def body(s, _):
-        return step(model, s, ctrl), ()
+    def body(carry, _):
+        s, w = carry
+        s2, w2 = step_warm(model, s, ctrl, w)
+        return (s2, w2), ()
 
-    out, _ = jax.lax.scan(body, state, None, length=n)
+    (out, _), _ = jax.lax.scan(body, (state, warm0), None, length=n)
     return out

@@ -105,3 +105,46 @@ def test_pgs_friction_sliding_sphere_matches_mujoco():
     # rolling: angular velocity about y matches v/r (r = 0.1)
     wy = float(out.qvel[4])
     assert abs(wy * 0.1 - vx) < 0.1, (wy, vx)
+
+
+def _contact_golden_models():
+    """(name, model) pairs whose golden contact states exist."""
+    import gymnasium
+    from mjrl_tpu.physics.mjcf import load_mjcf
+    from mjrl_tpu.envs.assets import peg_insertion_model
+    gympath = os.path.join(os.path.dirname(gymnasium.__file__),
+                           "envs/mujoco/assets")
+    return [
+        ("hopper", lambda: load_mjcf(os.path.join(gympath, "hopper.xml"))
+         .finalize(jnp.float64, solver="newton")),
+        ("walker2d", lambda: load_mjcf(os.path.join(gympath, "walker2d.xml"))
+         .finalize(jnp.float64, solver="newton")),
+        ("peg_insertion", lambda: peg_insertion_model().finalize(jnp.float64,
+                                                       solver="newton")),
+    ]
+
+
+@pytest.mark.parametrize("name,make_model",
+                         _contact_golden_models(),
+                         ids=["hopper", "walker2d", "peg_insertion"])
+def test_newton_matches_mujoco_on_contact_states(name, make_model):
+    """Contact-active qacc vs MuJoCo goldens (pyramidal/frictionless rows,
+    solimp impedance, diagApprox regularization, Newton solve).  The
+    round-2 acceptance gate: median relative error <= 2%."""
+    path = os.path.join(GOLDEN, f"contact_{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"no golden contact_{name}")
+    g = np.load(path)
+    model = make_model()
+    acc = jax.jit(lambda q, v, u: qacc_smooth(
+        model, State(qpos=q, qvel=v), u))
+    errs = []
+    for i in range(min(len(g["qpos"]), 25)):
+        ours = np.asarray(acc(jnp.asarray(g["qpos"][i]),
+                              jnp.asarray(g["qvel"][i]),
+                              jnp.asarray(g["ctrl"][i])))
+        scale = max(np.abs(g["qacc"][i]).max(), 1.0)
+        errs.append(np.abs(ours - g["qacc"][i]).max() / scale)
+    errs = np.array(errs)
+    assert np.median(errs) < 0.02, (np.median(errs), np.sort(errs)[-5:])
+    assert np.percentile(errs, 90) < 0.12, np.sort(errs)[-5:]

@@ -1,0 +1,79 @@
+"""General NPG training CLI for any registered env — used for solver /
+learning-curve validation runs (docs/BENCHMARKS.md "Task benchmarks").
+
+    python tools/train_gym.py --env Walker2d-v3 --iters 50 --ntraj 100 \
+        --horizon 1000 --solver pgs
+
+Prints one JSON line per iteration and a final summary line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
+from mjrl_tpu.algos import NPG  # noqa: E402
+from mjrl_tpu.baselines import MLPBaseline  # noqa: E402
+from mjrl_tpu.envs import GymEnv  # noqa: E402
+from mjrl_tpu.models.policies import MLP  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--env", default="Walker2d-v3")
+    ap.add_argument("--solver", default=None,
+                    help="penalty | pgs (env default when omitted)")
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--ntraj", type=int, default=100)
+    ap.add_argument("--horizon", type=int, default=1000)
+    ap.add_argument("--step_size", type=float, default=0.05)
+    ap.add_argument("--gamma", type=float, default=0.995)
+    ap.add_argument("--gae", type=float, default=0.97)
+    ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--init_log_std", type=float, default=-0.25)
+    ap.add_argument("--hidden", type=int, nargs="+", default=[64, 64])
+    args = ap.parse_args()
+
+    kw = {"solver": args.solver} if args.solver else {}
+    e = GymEnv(args.env, env_kwargs=kw)
+    policy = MLP(e.spec, hidden_sizes=tuple(args.hidden), seed=args.seed,
+                 init_log_std=args.init_log_std)
+    baseline = MLPBaseline(e.spec, reg_coef=1e-3, batch_size=64, epochs=2,
+                           learn_rate=1e-3)
+    agent = NPG(e, policy, baseline,
+                normalized_step_size=args.step_size, seed=args.seed,
+                save_logs=True)
+    t0 = time.time()
+    best = -1e18
+    for i in range(args.iters):
+        stats = agent.train_step(N=args.ntraj, sample_mode="trajectories",
+                                 horizon=args.horizon, gamma=args.gamma,
+                                 gae_lambda=args.gae)
+        best = max(best, float(stats[0]))
+        print(json.dumps({"iter": i, "mean_return": round(float(stats[0]), 1),
+                          "elapsed_s": round(time.time() - t0, 1)}),
+              flush=True)
+    print(json.dumps({
+        "env": args.env, "solver": args.solver or "default",
+        "final_return": round(float(stats[0]), 1),
+        "best_return": round(best, 1),
+        "iters": args.iters,
+        "elapsed_s": round(time.time() - t0, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
