@@ -63,7 +63,18 @@ def run(output, job_data):
     seed = job_data["seed"]
     np.random.seed(seed)
 
-    e = GymEnv(env_name, act_repeat=job_data["act_repeat"])
+    # external-env escape hatch (the reference's dmc2gym special case,
+    # run_model_accel_npg.py:86-91, generalized): env_factory =
+    # "pkg.module:callable" constructs any host-API env (gymnasium, dmc)
+    # behind the GymEnv surface
+    if job_data.get("env_factory"):
+        mod_name, _, fn_name = job_data["env_factory"].partition(":")
+        import importlib
+        factory = getattr(importlib.import_module(mod_name), fn_name)
+        e = GymEnv(factory, act_repeat=job_data["act_repeat"],
+                   horizon=job_data.get("horizon"))
+    else:
+        e = GymEnv(env_name, act_repeat=job_data["act_repeat"])
     e.set_seed(seed)
 
     # reward function: env registry takes precedence; fall back to the

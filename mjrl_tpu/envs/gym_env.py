@@ -14,7 +14,7 @@ import numpy as np
 
 class GymEnv:
     def __init__(self, env, env_kwargs=None, obs_mask=None, act_repeat=1,
-                 *args, **kwargs):
+                 horizon=None, *args, **kwargs):
         from mjrl_tpu import envs as registry
         if isinstance(env, str):
             self.env = registry.make(env, **(env_kwargs or {}))
@@ -26,16 +26,43 @@ class GymEnv:
             self.env = env
             self.env_id = type(env).__name__
 
+        # external host-API envs (gymnasium / dmc2gym style: stateful
+        # reset()/step(a), observation_space attributes) are supported
+        # behind the same surface — the reference's dmc2gym escape hatch
+        # (run_model_accel_npg.py:86-91) generalized to any host env
+        self._external = (hasattr(self.env, "observation_space")
+                          and not hasattr(self.env, "model"))
+
         self.act_repeat = act_repeat
-        assert self.env.horizon % act_repeat == 0
-        self._horizon = self.env.horizon // act_repeat
-        self.obs_mask = np.ones(self.env.observation_dim) if obs_mask is None \
+        env_horizon = self._resolve_horizon(horizon)
+        assert env_horizon % act_repeat == 0
+        self._horizon = env_horizon // act_repeat
+        self.obs_mask = np.ones(self.observation_dim) if obs_mask is None \
             else np.asarray(obs_mask)
         self.seeding = False
         self._key = jax.random.PRNGKey(123)
         self._state = None
-        self._jit_step = jax.jit(self.env.step)
-        self._jit_reset = jax.jit(self.env.reset)
+        self._last_obs = None
+        self._seed_int = None
+        if not self._external:
+            self._jit_step = jax.jit(self.env.step)
+            self._jit_reset = jax.jit(self.env.reset)
+
+    def _resolve_horizon(self, horizon):
+        if horizon is not None:
+            return horizon
+        if not self._external:
+            return self.env.horizon
+        spec = getattr(self.env, "spec", None)
+        for attr in ("max_episode_steps", "_horizon"):
+            v = getattr(spec, attr, None)
+            if v:
+                return v
+        v = getattr(self.env, "horizon", None) or \
+            getattr(self.env, "_max_episode_steps", None)
+        if v:
+            return v
+        raise ValueError("external env: pass horizon= explicitly")
 
     # -- pickling: jitted closures are rebuilt on load --------------------
     def __getstate__(self):
@@ -46,8 +73,9 @@ class GymEnv:
 
     def __setstate__(self, state):
         self.__dict__.update(state)
-        self._jit_step = jax.jit(self.env.step)
-        self._jit_reset = jax.jit(self.env.reset)
+        if not self._external:
+            self._jit_step = jax.jit(self.env.step)
+            self._jit_reset = jax.jit(self.env.reset)
 
     # -- spec ------------------------------------------------------------
     @property
@@ -58,10 +86,14 @@ class GymEnv:
 
     @property
     def observation_dim(self):
+        if self._external:
+            return int(np.prod(self.env.observation_space.shape))
         return self.env.observation_dim
 
     @property
     def action_dim(self):
+        if self._external:
+            return int(np.prod(self.env.action_space.shape))
         return self.env.action_dim
 
     @property
@@ -70,6 +102,8 @@ class GymEnv:
 
     @property
     def action_space(self):
+        if self._external:
+            return self.env.action_space
         low = np.asarray(self.env.act_low)
         high = np.asarray(self.env.act_high)
         return type("Box", (), {"low": low, "high": high})()
@@ -85,6 +119,14 @@ class GymEnv:
     def reset(self, seed=None):
         if seed is not None:
             self.set_seed(seed)
+            self._seed_int = int(seed)
+        if self._external:
+            out = self.env.reset(seed=self._seed_int) \
+                if self._seed_int is not None else self.env.reset()
+            self._seed_int = None
+            obs = out[0] if isinstance(out, tuple) else out
+            self._last_obs = np.asarray(obs).ravel()
+            return self.get_obs()
         self._key, sub = jax.random.split(self._key)
         self._state = self._jit_reset(sub)
         return self.get_obs()
@@ -92,6 +134,22 @@ class GymEnv:
     reset_model = reset
 
     def step(self, a):
+        if self._external:
+            total_r, done, ifo = 0.0, False, {}
+            a = np.clip(np.asarray(a), self.env.action_space.low,
+                        self.env.action_space.high)
+            for _ in range(self.act_repeat):
+                out = self.env.step(a)
+                if len(out) == 5:       # gymnasium: terminated/truncated
+                    obs, r, term, trunc, ifo = out
+                    done = bool(term) or bool(trunc)
+                else:
+                    obs, r, done, ifo = out
+                self._last_obs = np.asarray(obs).ravel()
+                total_r += float(r)
+                if done:
+                    break
+            return self.get_obs(), total_r, done, ifo
         a = np.clip(np.asarray(a), np.asarray(self.env.act_low),
                     np.asarray(self.env.act_high))
         a = jnp.asarray(a, self._state.obs.dtype)
@@ -103,19 +161,31 @@ class GymEnv:
         return self.get_obs(), total_r, done, self.get_env_infos()
 
     def get_obs(self):
+        if self._external:
+            return self._last_obs * self.obs_mask
         return np.asarray(self._state.obs) * self.obs_mask
 
     def get_env_infos(self):
+        if self._external:
+            return {}
         info = {k: np.asarray(v) for k, v in self._state.info.items()}
         info["state"] = self.get_env_state()
         return info
 
     # -- state parity (gym_env.py:134-150) -------------------------------
     def get_env_state(self):
+        if self._external:
+            if hasattr(self.env, "get_env_state"):
+                return self.env.get_env_state()
+            raise NotImplementedError
         return {k: np.asarray(v)
                 for k, v in self.env.get_env_state(self._state).items()}
 
     def set_env_state(self, state_dict):
+        if self._external:
+            if hasattr(self.env, "set_env_state"):
+                return self.env.set_env_state(state_dict)
+            raise NotImplementedError
         if self._state is None:
             self.reset()
         self._state = self.env.set_env_state(self._state, state_dict)
@@ -132,6 +202,8 @@ class GymEnv:
         import matplotlib.pyplot as plt
         import numpy as _np
         from mjrl_tpu.utils.render import draw_model
+        if self._external:
+            return self.env.render()
         if self._state is None:
             self.reset()
         model = self.env._patched_model(self._state.scenery) \
