@@ -72,6 +72,13 @@ def main():
         json.dump(curve, f)
     print("wrote", out)
 
+    import pickle
+    ppath = os.path.join(_HERE, "curves",
+                         f"mjrl_tpu_{args.env}_seed{args.seed}_policy.pkl")
+    with open(ppath, "wb") as f:
+        pickle.dump(policy, f)
+    print("wrote", ppath)
+
 
 if __name__ == "__main__":
     main()

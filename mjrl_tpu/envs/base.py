@@ -104,12 +104,31 @@ class MujocoLikeEnv:
                         reward=reward, done=jnp.zeros((), bool), info=info,
                         t=jnp.zeros((), jnp.int32))
 
+    @property
+    def _planar(self):
+        """Planar-chain fast path (physics/planar.py) when the model
+        qualifies AND the env never patches the model per-episode."""
+        if "_planar_cache" not in self.__dict__:
+            from mjrl_tpu.physics.planar import extract_planar
+            static_model = (type(self)._patched_model
+                            is MujocoLikeEnv._patched_model)
+            self.__dict__["_planar_cache"] = \
+                extract_planar(self.model) if static_model else None
+        return self.__dict__["_planar_cache"]
+
     def step(self, state: EnvState, action) -> EnvState:
         model = self._patched_model(state.scenery)
         action = jnp.asarray(action, state.obs.dtype)
         # action clipping to the control range happens inside
         # actuator_force (parity with gym_env.py:93-103 clip-to-box)
-        physics = step_n(model, state.physics, action, self.frame_skip)
+        if self._planar is not None:
+            from mjrl_tpu.physics.planar import step_n_arrays
+            qpos, qvel = step_n_arrays(self._planar, state.physics.qpos,
+                                       state.physics.qvel, action,
+                                       self.frame_skip)
+            physics = State(qpos=qpos, qvel=qvel)
+        else:
+            physics = step_n(model, state.physics, action, self.frame_skip)
         data = fwd_kinematics(model, physics.qpos) if self.needs_fk_obs \
             else None
         obs = self._obs(data, state.scenery, physics)

@@ -18,7 +18,12 @@ class SwimmerEnv(MujocoLikeEnv):
     horizon = 500
     needs_fk_obs = False  # obs = qpos/qvel only
 
-    def __init__(self, dtype=jnp.float32, solver="penalty"):
+    # default = implicit solver: the +-1.5 hinge limits are load-bearing
+    # (a penalty stop lets NPG learn a nonphysical thrash gait that
+    # scores ~7x real MuJoCo — benchmarks/parity/cross_eval.py); with
+    # solver="newton" the planar fast path (physics/planar.py) solves the
+    # exact limit QP at ~20M steps/s
+    def __init__(self, dtype=jnp.float32, solver="newton"):
         builder = swimmer_model()
         self.model = builder.finalize(dtype, solver=solver)
         self.dtype = dtype

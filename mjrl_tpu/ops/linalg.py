@@ -26,7 +26,14 @@ def chol_solve_unrolled(a, b):
             for k in range(j):
                 s = s - low[i][k] * low[j][k]
             if i == j:
-                low[i][j] = jnp.sqrt(s)
+                # pivot floor: an ill-conditioned SPD matrix (e.g. the
+                # constraint-solver Hessian M + J^T S J in f32) can round
+                # to a slightly negative pivot under XLA's reassociation,
+                # and sqrt(neg) = NaN poisons the whole rollout.  Flooring
+                # at a tiny positive fraction of the diagonal keeps the
+                # solve finite; the Newton line search absorbs the error.
+                floor = 1e-10 * jnp.abs(a[..., i, i]) + 1e-30
+                low[i][j] = jnp.sqrt(jnp.maximum(s, floor))
             else:
                 low[i][j] = s / low[j][j]
     y = [None] * n

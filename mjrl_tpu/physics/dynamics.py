@@ -234,10 +234,28 @@ def project_body_forces(model: Model, cdof, forces):
 LIMIT_WIDTH = 0.02
 
 def spring_force(model: Model, qpos):
-    """Joint springs (slide/hinge dofs): -stiffness * (qpos - springref);
-    reference models use stiffness 0 except where MJCF sets it."""
+    """Joint springs: -stiffness * (qpos - springref) on slide/hinge
+    dofs, and quaternion springs -stiffness * rotvec(q (x) ref^-1) on
+    ball and free-joint orientations (MuJoCo mj_passive mju_subQuat
+    semantics; the free joint's translational spring pulls toward
+    qpos0)."""
     q = qpos[jnp.asarray(np.array(model.dof_qpos_idx, np.int32))]
-    return -model.dof_stiffness * (q - model.dof_ref)
+    qfrc = -model.dof_stiffness * (q - model.dof_ref)
+    for j in model.jnt_spring_quat:        # static: sprung ball/free jnts
+        jt = model.jnt_type[j]
+        k = model.jnt_stiffness[j]
+        qa, da = model.jnt_qposadr[j], model.jnt_dofadr[j]
+        if jt == BALL:
+            ref = model.qpos0[qa:qa + 4]
+            dq = pm.quat_mul(pm.quat_inv(ref), qpos[qa:qa + 4])
+            qfrc = qfrc.at[da:da + 3].add(-k * pm.quat_to_rotvec(dq))
+        else:
+            qfrc = qfrc.at[da:da + 3].add(
+                -k * (qpos[qa:qa + 3] - model.qpos0[qa:qa + 3]))
+            ref = model.qpos0[qa + 3:qa + 7]
+            dq = pm.quat_mul(pm.quat_inv(ref), qpos[qa + 3:qa + 7])
+            qfrc = qfrc.at[da + 3:da + 6].add(-k * pm.quat_to_rotvec(dq))
+    return qfrc
 
 
 def damping_force(model: Model, qvel):
@@ -385,16 +403,51 @@ def fluid_force(model: Model, data: Data, cvel):
 # Actuation
 # ---------------------------------------------------------------------------
 
-def actuator_force(model: Model, ctrl):
-    """qfrc_actuator (nv,): motors on joints, force = gear * clipped ctrl
-    (mujoco_env.py do_simulation sets ctrl; clipping per actuator
-    ctrlrange)."""
+def actuator_force(model: Model, ctrl, qpos=None, qvel=None):
+    """qfrc_actuator (nv,) under the affine actuator model
+    f_act = gain * ctrl + b0 + b1*length + b2*velocity applied through
+    the joint transmission (mujoco_env.py do_simulation sets ctrl;
+    clipping per actuator ctrlrange).
+
+    Plain motors on scalar joints (every reference env) take the
+    one-scatter fast path; position/velocity servos and ball/free
+    vector-gear transmissions go through a static per-actuator loop
+    (nu <= ~20)."""
     if model.nu == 0:
         return jnp.zeros((model.nv,), ctrl.dtype)
     c = jnp.where(model.ctrllimited > 0,
                   jnp.clip(ctrl, model.ctrlrange[:, 0], model.ctrlrange[:, 1]),
                   ctrl)
-    force = model.gear * c
     qfrc = jnp.zeros((model.nv,), ctrl.dtype)
-    dof_idx = [model.jnt_dofadr[j] for j in model.actuator_joint]
-    return qfrc.at[jnp.asarray(dof_idx)].add(force)
+    if model.actuator_simple:
+        force = model.gear * c
+        dof_idx = [model.jnt_dofadr[j] for j in model.actuator_joint]
+        return qfrc.at[jnp.asarray(dof_idx)].add(force)
+
+    for i, j in enumerate(model.actuator_joint):
+        da = model.jnt_dofadr[j]
+        qa = model.jnt_qposadr[j]
+        jt = model.jnt_type[j]
+        gain = model.actuator_gain[i]
+        b0, b1, b2 = (model.actuator_bias[i, 0], model.actuator_bias[i, 1],
+                      model.actuator_bias[i, 2])
+        if jt == BALL:
+            gv = model.actuator_gearv[i, :3]
+            rv = pm.quat_to_rotvec(qpos[qa:qa + 4]) if qpos is not None \
+                else jnp.zeros(3, ctrl.dtype)
+            length = jnp.dot(gv, rv)
+            vel = jnp.dot(gv, qvel[da:da + 3]) if qvel is not None else 0.0
+            f = gain * c[i] + b0 + b1 * length + b2 * vel
+            qfrc = qfrc.at[da:da + 3].add(gv * f)
+        elif jt == FREE:
+            gv = model.actuator_gearv[i]
+            vel = jnp.dot(gv, qvel[da:da + 6]) if qvel is not None else 0.0
+            f = gain * c[i] + b0 + b2 * vel     # free: no length
+            qfrc = qfrc.at[da:da + 6].add(gv * f)
+        else:
+            g = model.gear[i]
+            length = g * qpos[qa] if qpos is not None else 0.0
+            vel = g * qvel[da] if qvel is not None else 0.0
+            f = gain * c[i] + b0 + b1 * length + b2 * vel
+            qfrc = qfrc.at[da].add(g * f)
+    return qfrc

@@ -57,6 +57,18 @@ def quat_inv(q):
     return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], q.dtype)
 
 
+def quat_to_rotvec(q):
+    """Rotation vector (axis * angle, angle in [-pi, pi]) of a unit
+    quaternion — MuJoCo mju_quat2Vel at unit timestep (used by ball-joint
+    springs and ball/free actuator transmissions)."""
+    w = q[..., 0]
+    v = q[..., 1:]
+    sin_half = jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-24)
+    angle = 2.0 * jnp.arctan2(sin_half, w)
+    angle = jnp.where(angle > jnp.pi, angle - 2.0 * jnp.pi, angle)
+    return v * (angle / sin_half)[..., None]
+
+
 def skew(v):
     """(...,3) -> (...,3,3) cross-product matrix: skew(a) @ b = a x b."""
     x, y, z = v[..., 0], v[..., 1], v[..., 2]

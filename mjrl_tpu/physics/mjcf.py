@@ -14,7 +14,9 @@ locomotion models:
   geom (plane/sphere/capsule/cylinder/box; size, fromto, pos, quat,
   axisangle, density, mass, contype, conaffinity, friction, margin),
   site (pos)
-- actuator/motor: joint, gear, ctrlrange, ctrllimited
+- actuators: motor, position (kp/kv), velocity (kv), general
+  (gainprm/biasprm); joint transmission with scalar or vector gear
+  (ball/free), ctrlrange, ctrllimited
 
 Validated field-by-field against MuJoCo-compiled golden data for all four
 reference assets (tests/test_mjcf.py).
@@ -84,16 +86,21 @@ class _Defaults:
     """Nested default-class resolution (MJCF <default> blocks)."""
 
     def __init__(self):
-        self.classes = {"main": {"joint": {}, "geom": {}, "motor": {},
-                                 "site": {}, "parent": None}}
+        self.classes = {"main": self._empty(None)}
+
+    @staticmethod
+    def _empty(parent):
+        return {"joint": {}, "geom": {}, "motor": {}, "position": {},
+                "velocity": {}, "general": {}, "site": {},
+                "parent": parent}
 
     def parse(self, elem, parent="main"):
         cls = elem.get("class", parent if elem is not None else "main")
         if cls not in self.classes:
-            self.classes[cls] = {"joint": {}, "geom": {}, "motor": {},
-                                 "site": {}, "parent": parent}
+            self.classes[cls] = self._empty(parent)
         for child in elem:
-            if child.tag in ("joint", "geom", "motor", "site"):
+            if child.tag in ("joint", "geom", "motor", "position",
+                             "velocity", "general", "site"):
                 self.classes[cls][child.tag].update(child.attrib)
             elif child.tag == "default":
                 self.parse(child, parent=cls)
@@ -108,7 +115,7 @@ class _Defaults:
             c = self.classes[c]["parent"]
         merged = {}
         for c in reversed(chain):
-            merged.update(self.classes[c][kind])
+            merged.update(self.classes[c].get(kind, {}))
         merged.update(attrib)
         return merged
 
@@ -232,14 +239,30 @@ def load_mjcf(path=None, xml_string=None):
     actuators = root.find("actuator")
     if actuators is not None:
         for m in actuators:
-            if m.tag != "motor":
+            if m.tag not in ("motor", "position", "velocity", "general"):
                 raise NotImplementedError(
-                    f"actuator type {m.tag!r} not supported yet")
-            a = defaults.resolve("motor", m.get("class", "main"), m.attrib)
-            joint_name = a["joint"]
+                    f"actuator type {m.tag!r} not supported yet "
+                    "(motor/position/velocity/general)")
+            a = defaults.resolve(m.tag, m.get("class", "main"), m.attrib)
+            # affine gain/bias per actuator shorthand (MuJoCo modeling
+            # chapter: position = kp servo, velocity = kv damper)
+            if m.tag == "position":
+                kp = float(a.get("kp", "1"))
+                kv = float(a.get("kv", "0"))
+                gain, bias = kp, (0.0, -kp, -kv)
+            elif m.tag == "velocity":
+                kv = float(a.get("kv", "1"))
+                gain, bias = kv, (0.0, 0.0, -kv)
+            elif m.tag == "general":
+                gainprm = _floats(a.get("gainprm", "1"))
+                biasprm = list(_floats(a.get("biasprm", "0 0 0"))) + [0.0] * 3
+                gain, bias = float(gainprm[0]), tuple(biasprm[:3])
+            else:
+                gain, bias = 1.0, (0.0, 0.0, 0.0)
             builder.add_actuator(
-                builder.names["joint"][joint_name],
-                gear=float(_floats(a.get("gear", "1"))[0]),
+                builder.names["joint"][a["joint"]],
+                gear=tuple(_floats(a.get("gear", "1"))),
+                gain=gain, bias=bias,
                 ctrlrange=tuple(_floats(a.get("ctrlrange", "-1 1"))),
                 ctrllimited=a.get("ctrllimited", "false") == "true")
     return builder

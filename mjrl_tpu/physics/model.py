@@ -18,8 +18,11 @@ post-joint body frame — MuJoCo conventions, validated against mjData
 probes) and free (6 dofs / 7 qpos: world position + wxyz quaternion; must
 sit on a direct child of the world, like MuJoCo floating bases).  Ball
 joint limits constrain the total rotation angle to jnt_range[1]
-(dynamics.ball_limit_terms); quaternion springs and vector-gear motors
-remain unimplemented.
+(dynamics.ball_limit_terms).  Quaternion springs (stiffness on
+ball/free joints) and the affine actuator family — motors,
+position/velocity servos, general gain/bias, vector gears on ball/free
+transmissions — are supported and golden-validated against MuJoCo 3.10
+(tests/test_actuators.py).
 """
 
 from dataclasses import dataclass, field
@@ -83,6 +86,13 @@ class Model(struct.PyTreeNode):
     # Static: it decides the constraint-row structure at trace time.
     geom_condim: Tuple[int, ...] = struct.field(pytree_node=False,
                                                 default=())
+    # implicit-solver active-set cap: when a condim class has more
+    # candidate contacts than this, only the contact_topk deepest are
+    # given constraint rows (top-k per dynamics eval; 0 = no cap).
+    # Narrowphase still evaluates every pair — this bounds the DUAL
+    # system size, which dominates contact-rich models (peg: 474
+    # candidates, <~20 ever simultaneously active).
+    contact_topk: int = struct.field(pytree_node=False, default=0)
 
     # ---- numeric fields (jnp leaves) ----
     body_pos: Any = None          # (nbody, 3) frame offset in parent frame
@@ -113,9 +123,21 @@ class Model(struct.PyTreeNode):
     limit_solref: Any = None      # (njnt, 2) (timeconst, dampratio)
     limit_solimp: Any = None      # (njnt, 5)
     body_invweight0: Any = None   # (nbody, 2) mean CoM inv inertia (trn,rot)
-    gear: Any = None              # (nu,)
+    gear: Any = None              # (nu,) scalar gear (col 0 of gearv)
     ctrlrange: Any = None         # (nu, 2)
     ctrllimited: Any = None       # (nu,) float mask
+    # general affine actuator model (MuJoCo gaintype=fixed,
+    # biastype=affine): f_act = gain * ctrl + b0 + b1*length + b2*vel;
+    # motor = (gain 1, bias 0); position kp,kv = (kp, (0,-kp,-kv));
+    # velocity kv = (kv, (0,0,-kv))
+    actuator_gain: Any = None     # (nu,)
+    actuator_bias: Any = None     # (nu, 3)
+    actuator_gearv: Any = None    # (nu, 6) vector gear (ball: :3, free: :6)
+    # static fast-path flag: all transmissions scalar, all biases zero
+    actuator_simple: bool = struct.field(pytree_node=False, default=True)
+    # ball/free joints with nonzero stiffness (quaternion springs)
+    jnt_spring_quat: Tuple[int, ...] = struct.field(pytree_node=False,
+                                                    default=())
     geom_pos: Any = None          # (ngeom, 3) in body frame
     geom_quat: Any = None         # (ngeom, 4)
     geom_size: Any = None         # (ngeom, 3)
@@ -245,6 +267,14 @@ def _invweights(model):
     return dof_iw, body_iw
 
 
+def _actuators_simple(actuators, joints):
+    """True when every actuator is a plain motor on a scalar joint —
+    the one-scatter fast path in dynamics.actuator_force."""
+    return all(joints[a["joint"]]["type"] not in (FREE, BALL)
+               and not np.any(a["bias"]) and a["gain"] == 1.0
+               for a in actuators)
+
+
 def _solver_id(solver):
     try:
         return {"penalty": PENALTY, "pgs": PGS, "newton": PGS,
@@ -305,10 +335,9 @@ class ModelBuilder:
             # range[1] (range[0] must be 0)
             assert jnt_range is not None and float(jnt_range[0]) == 0.0, \
                 "ball joint range must be (0, max_angle)"
-        if _JNT_TYPES[jnt_type] in (FREE, BALL) and stiffness:
-            raise NotImplementedError(
-                "quaternion springs (stiffness on free/ball joints) are "
-                "not implemented")
+        # ball/free stiffness = quaternion spring toward the reference
+        # orientation (dynamics.spring_force); scalar-dof springs go
+        # through dof_stiffness
         jid = len(self.joints)
         axis = np.asarray(axis, np.float64)
         axis = axis / np.linalg.norm(axis)
@@ -366,14 +395,27 @@ class ModelBuilder:
         return sid
 
     def add_actuator(self, joint, gear=1.0, ctrlrange=(-1.0, 1.0),
-                     ctrllimited=True):
-        if self.joints[joint]["type"] in (FREE, BALL):
-            raise NotImplementedError(
-                "motors on free/ball joints (vector gear) not supported; "
-                "actuate scalar (slide/hinge) joints")
-        self.actuators.append(dict(joint=joint, gear=gear,
-                                   ctrlrange=np.asarray(ctrlrange, np.float64),
-                                   ctrllimited=float(bool(ctrllimited))))
+                     ctrllimited=True, gain=1.0, bias=(0.0, 0.0, 0.0)):
+        """Affine actuator (MuJoCo gaintype=fixed biastype=affine) on a
+        joint transmission.  ``gear`` is a scalar for slide/hinge, or a
+        vector (3 for ball, 6 for free joints).  motor: defaults;
+        position servo: gain=kp, bias=(0,-kp,-kv); velocity servo:
+        gain=kv, bias=(0,0,-kv)."""
+        gear = np.atleast_1d(np.asarray(gear, np.float64))
+        jt = self.joints[joint]["type"]
+        need = {FREE: 6, BALL: 3}.get(jt, 1)
+        if len(gear) == 1:
+            gear = np.concatenate([gear, np.zeros(need - 1)]) \
+                if need > 1 else gear
+        assert len(gear) >= need, \
+            f"gear needs {need} elements for this joint type"
+        gearv = np.zeros(6)
+        gearv[:len(gear[:6])] = gear[:6]
+        self.actuators.append(dict(
+            joint=joint, gear=float(gearv[0]), gearv=gearv,
+            gain=float(gain), bias=np.asarray(bias, np.float64),
+            ctrlrange=np.asarray(ctrlrange, np.float64),
+            ctrllimited=float(bool(ctrllimited))))
         return len(self.actuators) - 1
 
     # ---- compilation ------------------------------------------------------
@@ -470,7 +512,12 @@ class ModelBuilder:
                 for b in self.bodies:
                     b.geoms = [remap[g] for g in b.geoms]
 
-    def finalize(self, dtype=jnp.float32, solver="penalty"):
+    def finalize(self, dtype=jnp.float32, solver="penalty",
+                 contact_topk=None):
+        """``contact_topk``: implicit-solver active-set cap (see Model);
+        None = auto (cap at 64 when a model has more expanded contact
+        candidates than that — bounds the dual system on contact-rich
+        models like peg insertion without touching small ones)."""
         self._sort_by_body()
         nbody = len(self.bodies)
         njnt = len(self.joints)
@@ -576,6 +623,13 @@ class ModelBuilder:
             gear=arr([a["gear"] for a in self.actuators]).reshape(nu),
             ctrlrange=arr([a["ctrlrange"] for a in self.actuators]).reshape(nu, 2),
             ctrllimited=arr([a["ctrllimited"] for a in self.actuators]).reshape(nu),
+            actuator_gain=arr([a["gain"] for a in self.actuators]).reshape(nu),
+            actuator_bias=arr([a["bias"] for a in self.actuators]).reshape(nu, 3),
+            actuator_gearv=arr([a["gearv"] for a in self.actuators]).reshape(nu, 6),
+            actuator_simple=_actuators_simple(self.actuators, j),
+            jnt_spring_quat=tuple(
+                ji for ji, x in enumerate(j)
+                if x["type"] in (BALL, FREE) and x["stiffness"]),
             geom_pos=arr([g["pos"] for g in self.geoms]).reshape(ngeom, 3),
             geom_quat=arr([g["quat"] for g in self.geoms]).reshape(ngeom, 4),
             geom_size=arr([g["size"] for g in self.geoms]).reshape(ngeom, 3),
@@ -591,5 +645,10 @@ class ModelBuilder:
             density=arr(self.opt["density"]),
         )
         dof_iw, body_iw = _invweights(model)
+        if contact_topk is None:
+            from mjrl_tpu.physics.collision import contact_geom_ids
+            n_expanded = len(contact_geom_ids(model)[0])
+            contact_topk = 64 if n_expanded > 64 else 0
         return model.replace(dof_invweight0=arr(dof_iw),
-                             body_invweight0=arr(body_iw))
+                             body_invweight0=arr(body_iw),
+                             contact_topk=int(contact_topk))

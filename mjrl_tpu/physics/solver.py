@@ -1,4 +1,4 @@
-"""MuJoCo-grade implicit constraint solver: primal Newton on qacc.
+"""MuJoCo-grade implicit constraint solver (dual APGD).
 
 This is the TPU-native replacement for the constraint solver inside the
 reference's native sim boundary (reference mjrl/envs/mujoco_env.py:11-15,
@@ -28,30 +28,33 @@ probes (efc_KBIP, efc_R, efc_aref, efc_J) and the full solve validated to
 machine precision against MuJoCo's Newton solver on hopper floor-contact
 states (tests/test_solver.py golden data).
 
-Solved with fixed-iteration Newton: exact Hessian M + J^T diag(s) J
-(SPD, unrolled Cholesky — ops/linalg.py), vectorized parallel line
-search over a static alpha grid (the 1-D restriction is piecewise
-quadratic; a 14-point geometric grid plus alpha=0 never increases the
-cost).  Warm-started on qacc across substeps and RK4 stages (step.py),
-which cuts the iterations needed to converge after the first substep.
-Constraint rows are static (trace-time) in count; inactive rows are
-masked out of the cost.
+Solved in the DUAL with warm-started accelerated projected gradient
+descent (solve_qacc): every sweep is two O(C nv) matvecs (unrolled over
+the static nv axis — no dot_general) plus elementwise projection, which
+XLA fuses across the scan — no per-iteration factorization, no
+while_loop synchronization — so it vmaps efficiently over large env
+batches on TPU.  Contact-rich models cap the dual system with a top-k
+active set (Model.contact_topk).  Impulses are warm-started across substeps and RK4
+stages (step.py), MuJoCo's qacc_warmstart analog.  Constraint rows are
+static (trace-time) in count; inactive rows are masked to zero impulse.
+A 60-iteration primal-Newton reference solve (exact Hessian + line
+search) was used to pin these semantics against MuJoCo and reproduces
+its qacc to ~1e-7; the dual converges to the same solution (same QP) —
+cold-start accuracy is gated by tests/test_solver.py's contact goldens.
 """
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mjrl_tpu.physics import math as pm
 from mjrl_tpu.physics.collision import contact_geom_ids, find_contacts
 from mjrl_tpu.physics.dynamics import ancestor_mask, ball_limit_terms
 from mjrl_tpu.physics.model import BALL, Model
 from mjrl_tpu.ops.linalg import chol_solve_unrolled
 
-NEWTON_ITERS = 8
-# line-search grid: 0 guarantees monotone cost; 2.0 allows over-stepping
-_ALPHAS = np.array([0.0, 1.0, 0.7, 0.5, 0.35, 0.25, 0.17, 0.12,
-                    0.08, 0.05, 0.03, 0.02, 0.01, 2.0])
+SWEEPS = 50      # APGD iterations for a cold (zero-impulse) solve
+SWEEPS_WARM = 15  # iterations when warm-started from the previous substep
+POWER_ITERS = 8   # power-iteration steps for the Lipschitz estimate
 
 
 def impedance(solimp, violation):
@@ -60,9 +63,29 @@ def impedance(solimp, violation):
     solimp = (d0, dwidth, width, midpoint, power); the ramp interpolates
     d0 -> dwidth over |r| in [0, width] with a split polynomial sigmoid.
     Verified against mjData.efc_KBIP[2] across penetrations."""
-    d0, dw, width, mid, power = (solimp[..., 0], solimp[..., 1],
-                                 solimp[..., 2], solimp[..., 3],
-                                 solimp[..., 4])
+    return _impedance_components(
+        tuple(solimp[..., i] for i in range(5)), violation)
+
+
+def _kb(solref, solimp, timestep):
+    """Constraint stiffness/damping in acceleration units; the timeconst
+    is floored at 2*timestep like MuJoCo's implicit solvers."""
+    return _kb_components(solref[..., 0], solref[..., 1], solimp[..., 1],
+                          timestep)
+
+
+def _kb_components(tc, dr, dmax, timestep):
+    """_kb on separate component arrays (SoA layout for contact rows)."""
+    tc = jnp.maximum(tc, 2.0 * timestep)
+    k = 1.0 / jnp.maximum(dmax * dmax * tc * tc * dr * dr, 1e-12)
+    b = 2.0 / jnp.maximum(dmax * tc, 1e-12)
+    return k, b
+
+
+def _impedance_components(si, violation):
+    """solimp impedance ramp on a 5-tuple of component arrays (the SoA
+    variant of ``impedance``)."""
+    d0, dw, width, mid, power = si
     x = jnp.clip(violation / jnp.maximum(width, 1e-12), 0.0, 1.0)
     mid = jnp.clip(mid, 1e-4, 1.0 - 1e-4)
     y_lo = mid * (x / mid) ** power
@@ -71,27 +94,22 @@ def impedance(solimp, violation):
     return jnp.clip(d0 + y * (dw - d0), 1e-4, 1.0 - 1e-4)
 
 
-def _kb(solref, solimp, timestep):
-    """Constraint stiffness/damping in acceleration units; the timeconst
-    is floored at 2*timestep like MuJoCo's implicit solvers."""
-    tc = jnp.maximum(solref[..., 0], 2.0 * timestep)
-    dr = solref[..., 1]
-    dmax = solimp[..., 1]
-    k = 1.0 / jnp.maximum(dmax * dmax * tc * tc * dr * dr, 1e-12)
-    b = 2.0 / jnp.maximum(dmax * tc, 1e-12)
-    return k, b
-
-
 def constraint_rows(model: Model, data, cdof, qpos, qvel):
-    """Assemble the static constraint rows -> (J (C, nv), aref (C,),
-    active (C,), R (C,)).
+    """Assemble the static constraint rows -> (J (C, nv), aref_pos (C,),
+    b_row (C,), active (C,), R (C,)).
+
+    The velocity part of MuJoCo's reference acceleration is kept
+    SEPARATE: aref(v) = aref_pos - b_row * (J v), so a frozen row
+    context can be reused across RK4 stages / substeps with only the
+    cheap J v matvec recomputed (see constrained_qacc ctx).
 
     Row layout: one signed row per limited scalar dof, one row per ball
-    joint rotation limit, then 4 pyramidal facet rows per contact point.
+    joint rotation limit, then contact rows (frictionless or 4 pyramidal
+    facets per point).
     """
     dtype = qvel.dtype
     h = model.timestep
-    rows, arefs, actives, regs = [], [], [], []
+    rows, arefs, brows, actives, regs = [], [], [], [], []
 
     # ---- scalar-dof joint limits ---------------------------------------
     nv = model.nv
@@ -105,9 +123,9 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
     active_l = model.dof_limited * ((below > 0) | (above > 0))
     k_l, b_l = _kb(model.dof_solref, model.dof_solimp, h)
     imp_l = impedance(model.dof_solimp, jnp.maximum(-dist, 0.0))
-    jv = sign * qvel
     rows.append(sign[:, None] * jnp.eye(nv, dtype=dtype))
-    arefs.append(-b_l * jv - k_l * imp_l * dist)
+    arefs.append(-k_l * imp_l * dist)
+    brows.append(b_l)
     actives.append(active_l.astype(dtype))
     regs.append((1.0 - imp_l) / imp_l * model.dof_invweight0)
 
@@ -116,10 +134,9 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
         k_b, b_b = _kb(model.limit_solref[bj], model.limit_solimp[bj], h)
         imp_b = impedance(model.limit_solimp[bj], jnp.maximum(-bpos, 0.0))
         jrow = jnp.zeros((nv,), dtype).at[da:da + 3].set(-axis)
-        jv_b = -(axis[0] * qvel[da] + axis[1] * qvel[da + 1]
-                 + axis[2] * qvel[da + 2])
         rows.append(jrow[None])
-        arefs.append((-b_b * jv_b - k_b * imp_b * bpos)[None])
+        arefs.append((-k_b * imp_b * bpos)[None])
+        brows.append(jnp.asarray(b_b, dtype)[None])
         actives.append((model.jnt_limited[bj] * (bpos < 0)).astype(dtype)[None])
         regs.append(((1.0 - imp_b) / imp_b
                      * model.dof_invweight0[da])[None])
@@ -129,36 +146,54 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
     # FRICTIONLESS); condim 3 -> 4 pyramidal facet rows.  The pair condim
     # is max(geom condims) (MuJoCo rule) and is STATIC, so the split is
     # done with host-side index arrays at trace time.
-    depths, points, normals, g1, g2 = find_contacts(model, data)
+    depths, point, normal, g1, g2 = find_contacts(model, data)
     C = int(depths.shape[0])
     if C:
         gb = jnp.asarray(np.array(model.geom_body, np.int32))
         b1, b2 = gb[g1], gb[g2]
-        mask = jnp.asarray(ancestor_mask(model), dtype)
-        coeff = mask[b2] - mask[b1]                       # (C, nv)
+        mask_np = ancestor_mask(model)                    # (nbody, nv)
         pos_m = -depths                                   # dist - margin
         active_c = (depths > 0).astype(dtype)
 
-        solref = 0.5 * (model.geom_solref[g1] + model.geom_solref[g2])
-        solimp = 0.5 * (model.geom_solimp[g1] + model.geom_solimp[g2])
-        k_c, b_c = _kb(solref, solimp, h)
-        imp_c = impedance(solimp, jnp.maximum(depths, 0.0))
+        # component gathers: (C, 2)/(C, 5) gathered tables would be
+        # lane-padded to (C, 128) on TPU (see collision.py's layout
+        # rationale; measured 10 ms/eval on peg), so solref/solimp are
+        # assembled per component
+        def avg_col(tab, i):
+            return 0.5 * (tab[g1, i] + tab[g2, i])
+
+        tc_c = avg_col(model.geom_solref, 0)
+        dr_c = avg_col(model.geom_solref, 1)
+        si_c = tuple(avg_col(model.geom_solimp, i) for i in range(5))
+        k_c, b_c = _kb_components(tc_c, dr_c, si_c[1], h)
+        imp_c = _impedance_components(si_c, jnp.maximum(depths, 0.0))
         mu = jnp.maximum(model.geom_friction[g1, 0],
                          model.geom_friction[g2, 0])
         iw = (model.body_invweight0[b1, 0] + model.body_invweight0[b2, 0])
 
         # MuJoCo tangent frame: t1 ∝ (0, n_z, -n_y), y-axis fallback
-        t1_raw = jnp.stack([jnp.zeros_like(normals[:, 0]),
-                            normals[:, 2], -normals[:, 1]], axis=-1)
-        t1n = jnp.linalg.norm(t1_raw, axis=-1, keepdims=True)
-        yhat = jnp.tile(jnp.asarray([0.0, 1.0, 0.0], dtype), (C, 1))
-        t1 = jnp.where(t1n > 1e-8, t1_raw / jnp.maximum(t1n, 1e-12), yhat)
-        t2 = pm.cross(normals, t1)
+        # (SoA components — see collision.py's layout rationale)
+        t1n = jnp.sqrt(normal[2] ** 2 + normal[1] ** 2)
+        safe = jnp.maximum(t1n, 1e-12)
+        ok = t1n > 1e-8
+        t1 = (jnp.zeros_like(t1n),
+              jnp.where(ok, normal[2] / safe, 1.0),
+              jnp.where(ok, -normal[1] / safe, 0.0))
+        t2 = (normal[1] * t1[2] - normal[2] * t1[1],
+              normal[2] * t1[0] - normal[0] * t1[2],
+              normal[0] * t1[1] - normal[1] * t1[0])
 
-        def jac(dirs, pts, cf):
-            u = jnp.concatenate([pm.cross(pts, dirs), dirs], axis=-1)
-            return cf * sum(cdof[None, :, k] * u[:, None, k]
-                            for k in range(6))
+        def jac(dirs, pts, cf_cols):
+            """(K, nv) constraint rows for test directions ``dirs`` at
+            points ``pts`` (component tuples already reduced to the
+            active set) — assembled per-dof so no (C, nv) tensor is ever
+            minor-padded."""
+            u = (pts[1] * dirs[2] - pts[2] * dirs[1],
+                 pts[2] * dirs[0] - pts[0] * dirs[2],
+                 pts[0] * dirs[1] - pts[1] * dirs[0]) + dirs
+            cols = [cf_cols[d] * sum(cdof[d, k] * u[k] for k in range(6))
+                    for d in range(model.nv)]
+            return jnp.stack(cols, axis=-1)
 
         g1_np, g2_np = contact_geom_ids(model)
         condim_np = np.array(model.geom_condim, np.int32)
@@ -166,36 +201,71 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
         idx_n = np.where(pair_condim == 1)[0]
         idx_f = np.where(pair_condim >= 3)[0]
 
+        def make_take(idx_np):
+            """Active-set reduction (C,) -> (K,) for one condim class:
+            static slice below the contact_topk cap, else top-k deepest
+            via a ONE-HOT CONTRACTION — per-env dynamic row gathers
+            lower catastrophically on this TPU (~0.7 ms each vs ~7 us
+            for an extra one-hot matvec), so the sorted index set (row
+            identity stable while the active set doesn't change — the
+            warm-start contract) is applied as oh (K, C) @ comp (C,)."""
+            k = model.contact_topk
+            if not (k and len(idx_np) > k):
+                idx = jnp.asarray(idx_np)
+                return lambda arr: arr[idx]
+            _, li = jax.lax.top_k(depths[jnp.asarray(idx_np)], k)
+            s = jnp.sort(jnp.asarray(idx_np)[li])
+            c_all = depths.shape[0]
+            oh = (s[:, None] == jnp.arange(c_all)[None, :]).astype(dtype)
+            return lambda arr: oh @ arr
+
+        def coeff_cols(take):
+            """Per-dof chain coefficients of the selected contacts."""
+            cols = []
+            for d in range(model.nv):
+                col = jnp.asarray(mask_np[:, d], dtype)
+                cols.append(take(col[b2] - col[b1]))
+            return cols
+
         if len(idx_n):         # frictionless: one normal row, R from iw
-            s = jnp.asarray(idx_n)
-            j_row = jac(normals[s], points[s], coeff[s])
+            take = make_take(idx_n)
+            pts = tuple(take(p) for p in point)
+            j_row = jac(tuple(take(n) for n in normal), pts,
+                        coeff_cols(take))
             rows.append(j_row)
-            arefs.append(-b_c[s] * (j_row @ qvel)
-                         - k_c[s] * imp_c[s] * pos_m[s])
-            actives.append(active_c[s])
-            regs.append(jnp.maximum((1.0 - imp_c[s]) / imp_c[s] * iw[s],
+            t_k, t_b, t_imp, t_pos = (take(k_c), take(b_c), take(imp_c),
+                                      take(pos_m))
+            arefs.append(-t_k * t_imp * t_pos)
+            brows.append(t_b)
+            actives.append(take(active_c))
+            regs.append(jnp.maximum((1.0 - t_imp) / t_imp * take(iw),
                                     1e-12))
 
         if len(idx_f):         # pyramidal: 4 facets, mu-scaled diagApprox
-            s = jnp.asarray(idx_f)
-            mue = mu[s]
-            diag_approx = iw[s] * 2.0 * mue * mue * (1.0 + mue * mue)
-            r_f = jnp.maximum((1.0 - imp_c[s]) / imp_c[s] * diag_approx,
-                              1e-12)
-            j_n = jac(normals[s], points[s], coeff[s])
-            j_t1 = jac(t1[s], points[s], coeff[s])
-            j_t2 = jac(t2[s], points[s], coeff[s])
+            take = make_take(idx_f)
+            mue = take(mu)
+            t_imp = take(imp_c)
+            diag_approx = take(iw) * 2.0 * mue * mue * (1.0 + mue * mue)
+            r_f = jnp.maximum((1.0 - t_imp) / t_imp * diag_approx, 1e-12)
+            pts = tuple(take(p) for p in point)
+            cfc = coeff_cols(take)
+            j_n = jac(tuple(take(n) for n in normal), pts, cfc)
+            j_t1 = jac(tuple(take(t) for t in t1), pts, cfc)
+            j_t2 = jac(tuple(take(t) for t in t2), pts, cfc)
+            t_k, t_b, t_pos = take(k_c), take(b_c), take(pos_m)
+            t_active = take(active_c)
             for j_t in (j_t1, j_t2):
                 for sign_f in (1.0, -1.0):
-                    j_f = j_n + sign_f * mu[s][:, None] * j_t
+                    j_f = j_n + sign_f * mue[:, None] * j_t
                     rows.append(j_f)
-                    arefs.append(-b_c[s] * (j_f @ qvel)
-                                 - k_c[s] * imp_c[s] * pos_m[s])
-                    actives.append(active_c[s])
+                    arefs.append(-t_k * t_imp * t_pos)
+                    brows.append(t_b)
+                    actives.append(t_active)
                     regs.append(r_f)
 
     return (jnp.concatenate(rows), jnp.concatenate(arefs),
-            jnp.concatenate(actives), jnp.concatenate(regs))
+            jnp.concatenate(brows), jnp.concatenate(actives),
+            jnp.concatenate(regs))
 
 
 def _ball_rows(model: Model, qpos):
@@ -204,45 +274,111 @@ def _ball_rows(model: Model, qpos):
             for bj, da, axis, bpos, _, _ in ball_limit_terms(model, qpos)]
 
 
-def solve_qacc(m, a0, j, aref, active, r, warm):
-    """Newton solve of the primal soft-constraint QP; returns qacc."""
-    dtype = a0.dtype
-    rs = jnp.maximum(jnp.where(active > 0, r, 1.0), 1e-12)
-    w = active / rs
-    alphas = jnp.asarray(_ALPHAS, dtype)
+def n_constraint_rows(model: Model):
+    """Static total row count (limits + ball limits + contact rows) — the
+    shape of the warm-start impulse vector threaded through step_n.
+    Accounts for the contact_topk active-set cap per condim class."""
+    n_ball = sum(1 for t in model.jnt_type if t == BALL)
+    g1_np, g2_np = contact_geom_ids(model)
+    if len(g1_np):
+        condim_np = np.array(model.geom_condim, np.int32)
+        pair_condim = np.maximum(condim_np[g1_np], condim_np[g2_np])
+        n_1 = int((pair_condim == 1).sum())
+        n_3 = int((pair_condim >= 3).sum())
+        if model.contact_topk:
+            n_1 = min(n_1, model.contact_topk)
+            n_3 = min(n_3, model.contact_topk)
+        n_con = n_1 + 4 * n_3
+    else:
+        n_con = 0
+    return model.nv + n_ball + n_con
 
-    def body(a, _):
-        x = j @ a - aref
-        s = w * (x < 0)
-        g = m @ (a - a0) + j.T @ (s * x)
-        hess = m + (j.T * s) @ j
-        da = chol_solve_unrolled(hess, -g)
-        jda = j @ da
-        c1 = da @ (m @ (a - a0))
-        c2 = 0.5 * da @ (m @ da)
-        xa = x[None, :] + alphas[:, None] * jda[None, :]
-        cost = (c1 * alphas + c2 * alphas * alphas
-                + 0.5 * jnp.sum(w[None, :] * jnp.minimum(xa, 0.0) ** 2,
-                                axis=1))
-        return a + alphas[jnp.argmin(cost)] * da, ()
 
-    a, _ = jax.lax.scan(body, warm, None, length=NEWTON_ITERS)
-    return a
+def solve_qacc(m, a0, j, aref, active, r, lam0, sweeps=SWEEPS):
+    """Diagonally-preconditioned APGD solve of the regularized DUAL
+    -> (qacc, lam).
+
+    The dual of the primal QP above:  min_lam 1/2 lam^T (A + R) lam -
+    lam^T (aref - J a0),  lam >= 0,  with A = J M^-1 J^T (never
+    materialized: each iteration costs two O(C nv) matvecs).  Solved by
+    Nesterov-accelerated projected gradient descent with adaptive
+    restart in the diag(A+R)^(1/2)-scaled space, step 1/L with L from
+    power iteration — convergence is guaranteed for any conditioning
+    (plain projected Jacobi diverges on walker2d's coupled pyramid
+    facets).  Chosen over primal Newton for the runtime path because
+    every iteration is fused elementwise/matvec work (no per-iteration
+    Cholesky, no while_loop sync), so it vmaps efficiently on TPU; the
+    impulses warm-start the next substep (MuJoCo's warm start analog).
+    Cold-start accuracy vs the contact goldens: median < 0.1% at 50
+    iterations (tests/test_solver.py)."""
+    # columns of M^-1 J^T: the Cholesky factor of m is loop-invariant
+    # under the row vmap, so it is computed once and only the triangular
+    # solves batch over rows
+    minv_jt = jax.vmap(lambda row: chol_solve_unrolled(m, row))(j)  # (C,nv)
+    diag = jnp.sum(j * minv_jt, axis=-1)
+    ds = jnp.sqrt(jnp.maximum(diag + r, 1e-12))
+
+    def op(v):     # preconditioned operator D^-1/2 (A + R) D^-1/2
+        u = v / ds
+        return (j @ (minv_jt.T @ u) + r * u) / ds
+
+    # Lipschitz constant of the preconditioned dual via power iteration
+    def power(carry, _):
+        v, _ = carry
+        w = op(v)
+        n = jnp.maximum(jnp.linalg.norm(w), 1e-12)
+        return (w / n, n), ()
+
+    (_, lmax), _ = jax.lax.scan(
+        power, (active / jnp.maximum(jnp.linalg.norm(active), 1e-12),
+                jnp.ones((), a0.dtype)), None, length=POWER_ITERS)
+    el = jnp.maximum(1.1 * lmax, 1e-8)
+
+    rhs = (aref - j @ a0) / ds
+    mu0 = lam0 * active * ds
+
+    def apgd(carry, _):
+        mu, y, t = carry
+        g = op(y) - rhs
+        mu_new = jnp.maximum(y - g / el, 0.0) * active
+        # adaptive restart (gradient test): kill momentum when the
+        # momentum direction opposes descent
+        restart = jnp.sum((y - mu_new) * (mu_new - mu)) > 0
+        t = jnp.where(restart, 1.0, t)
+        y_base = jnp.where(restart, mu_new, mu_new)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        mom = jnp.where(restart, 0.0, (t - 1.0) / t_new)
+        y = y_base + mom * (mu_new - mu)
+        return (mu_new, y, t_new), ()
+
+    (mu, _, _), _ = jax.lax.scan(
+        apgd, (mu0, mu0, jnp.ones((), a0.dtype)), None, length=sweeps)
+    lam = mu / ds
+    return a0 + minv_jt.T @ lam, lam
 
 
 def constrained_qacc(model: Model, data, cdof, qpos, qvel, m,
-                     qfrc_minus_bias, warm=None):
-    """qacc under the implicit solver -> (qacc, qacc_smooth).
+                     qfrc_minus_bias, warm=None, sweeps=None, ctx=None):
+    """qacc under the implicit solver -> (qacc, qacc_smooth, lam, ctx).
 
-    ``warm`` optionally seeds the Newton iteration (qacc from the previous
-    substep / RK4 stage); defaults to the smooth acceleration."""
+    ``warm`` optionally seeds the dual iteration with the previous
+    substep's / RK4 stage's impulses (MuJoCo's warm start); defaults to
+    zeros (cold).  ``sweeps`` (static) overrides the APGD iteration
+    count; None = the cold-start default.
+
+    ``ctx`` (the returned 5-tuple of constraint_rows) reuses a FROZEN
+    row context: J / positions / impedances / regularizers from an
+    earlier evaluation, with only the velocity part of aref recomputed
+    — the row-assembly amortization for RK4 models whose 16 dynamics
+    evaluations per control step dominate (step.py threads it)."""
     a0 = chol_solve_unrolled(m, qfrc_minus_bias)
-    j, aref, active, r = constraint_rows(model, data, cdof, qpos, qvel)
+    if ctx is None:
+        ctx = constraint_rows(model, data, cdof, qpos, qvel)
+    j, aref_pos, b_row, active, r = ctx
+    lam0 = jnp.zeros(j.shape[:1], a0.dtype) if warm is None else warm
     if j.shape[0] == 0:
-        return a0, a0
-    if warm is None:
-        start = a0
-    else:
-        arr, flag = warm
-        start = flag * arr + (1.0 - flag) * a0
-    return solve_qacc(m, a0, j, aref, active, r, start), a0
+        return a0, a0, lam0, ctx
+    aref = aref_pos - b_row * (j @ qvel)
+    qacc, lam = solve_qacc(m, a0, j, aref, active, r, lam0,
+                           sweeps=SWEEPS if sweeps is None else sweeps)
+    return qacc, a0, lam, ctx

@@ -64,7 +64,7 @@ def _forces_and_mass(model: Model, state: State, ctrl):
                                 state.qvel)
 
     m_diag = jnp.diagonal(m)
-    qfrc = dyn.actuator_force(model, ctrl)
+    qfrc = dyn.actuator_force(model, ctrl, state.qpos, state.qvel)
     qfrc = qfrc + dyn.spring_force(model, state.qpos)
     qfrc = qfrc + dyn.damping_force(model, state.qvel)
     fluid = dyn.fluid_force(model, data, cvel)
@@ -84,18 +84,22 @@ def _forces_and_mass(model: Model, state: State, ctrl):
     return m, qfrc, bias, qacc_ref, None
 
 
-def _qacc(model: Model, state: State, ctrl, warm=None):
-    """Forward-dynamics acceleration -> (qacc, warm').  ``warm`` is an
-    optional (qacc_seed (nv,), flag scalar) pair for the implicit solver;
-    warm' re-seeds the next substep/stage (None on the penalty path)."""
+def _qacc(model: Model, state: State, ctrl, warm=None, sweeps=None,
+          rows=None):
+    """Forward-dynamics acceleration -> (qacc, warm', rows').  ``warm``
+    is the optional constraint-impulse vector seeding the implicit
+    solver; warm' re-seeds the next substep/stage.  ``rows`` optionally
+    reuses a frozen constraint-row context (RK4 stage amortization);
+    rows' is the context built/reused (None on the penalty path)."""
     m, qfrc, bias, qacc_ref, ctx = _forces_and_mass(model, state, ctrl)
     if model.solver == PGS:
         from mjrl_tpu.physics.solver import constrained_qacc
         data, cdof, _ = ctx
-        qacc, _ = constrained_qacc(model, data, cdof, state.qpos,
-                                   state.qvel, m, qfrc - bias, warm)
-        return qacc, (qacc, jnp.ones((), qacc.dtype))
-    return spd_solve(m, qfrc - bias) + qacc_ref, None
+        qacc, _, lam, rows = constrained_qacc(
+            model, data, cdof, state.qpos, state.qvel, m, qfrc - bias,
+            warm, sweeps=sweeps, ctx=rows)
+        return qacc, lam, rows
+    return spd_solve(m, qfrc - bias) + qacc_ref, None, None
 
 
 def qacc_smooth(model: Model, state: State, ctrl):
@@ -105,7 +109,7 @@ def qacc_smooth(model: Model, state: State, ctrl):
     return _qacc(model, state, ctrl)[0]
 
 
-def _euler_step(model: Model, state: State, ctrl, warm=None):
+def _euler_step(model: Model, state: State, ctrl, warm=None, sweeps=None):
     h = model.timestep
     m, qfrc, bias, qacc_ref, ctx = _forces_and_mass(model, state, ctrl)
     # implicit joint damping: M + h diag(B)
@@ -115,11 +119,12 @@ def _euler_step(model: Model, state: State, ctrl, warm=None):
         data, cdof, _ = ctx
         # constraint QP against M (matching mj_forward), then mj_Euler's
         # implicit damping integrates smooth + constraint force with M+hB
-        qacc_c, a0 = constrained_qacc(model, data, cdof, state.qpos,
-                                      state.qvel, m, qfrc - bias, warm)
+        qacc_c, a0, lam, _ = constrained_qacc(
+            model, data, cdof, state.qpos, state.qvel, m, qfrc - bias,
+            warm, sweeps=sweeps)
         qfrc_con = m @ (qacc_c - a0)
         qacc = spd_solve(mh, qfrc - bias + qfrc_con)
-        warm_out = (qacc_c, jnp.ones((), qacc.dtype))
+        warm_out = lam
     else:
         qacc = spd_solve(mh, qfrc - bias) + qacc_ref
         warm_out = None
@@ -128,36 +133,48 @@ def _euler_step(model: Model, state: State, ctrl, warm=None):
     return State(qpos=qpos, qvel=qvel), warm_out
 
 
-def _rk4_step(model: Model, state: State, ctrl, warm=None):
+def _rk4_step(model: Model, state: State, ctrl, warm=None, sweeps=None,
+              rows=None):
     h = model.timestep
 
-    def deriv(s, w):
-        qacc, w2 = _qacc(model, s, ctrl, w)
-        return s.qvel, qacc, w2
+    def deriv(s, w, sw, rws):
+        qacc, w2, rws2 = _qacc(model, s, ctrl, w, sweeps=sw, rows=rws)
+        return s.qvel, qacc, w2, rws2
 
-    k1_p, k1_v, w = deriv(state, warm)
+    from mjrl_tpu.physics.solver import SWEEPS_WARM
+    # the constraint-row context built at stage 1 (or inherited from the
+    # previous substep) is FROZEN across the RK4 stages: contact/limit
+    # geometry barely moves within one timestep, and only the velocity
+    # part of aref is stage-dependent (recomputed from the frozen J) —
+    # this amortizes the dominant row-assembly cost 4x (16x with step_n's
+    # per-control-step freeze)
+    k1_p, k1_v, w, rows = deriv(state, warm, sweeps, rows)
     s2 = State(qpos=integrate_pos(model, state.qpos, k1_p, 0.5 * h),
                qvel=state.qvel + 0.5 * h * k1_v)
-    k2_p, k2_v, w = deriv(s2, w)
+    k2_p, k2_v, w, rows = deriv(s2, w, SWEEPS_WARM, rows)
     s3 = State(qpos=integrate_pos(model, state.qpos, k2_p, 0.5 * h),
                qvel=state.qvel + 0.5 * h * k2_v)
-    k3_p, k3_v, w = deriv(s3, w)
+    k3_p, k3_v, w, rows = deriv(s3, w, SWEEPS_WARM, rows)
     s4 = State(qpos=integrate_pos(model, state.qpos, k3_p, h),
                qvel=state.qvel + h * k3_v)
-    k4_p, k4_v, w = deriv(s4, w)
+    k4_p, k4_v, w, rows = deriv(s4, w, SWEEPS_WARM, rows)
     qvel_avg = (k1_p + 2 * k2_p + 2 * k3_p + k4_p) / 6.0
     qpos = integrate_pos(model, state.qpos, qvel_avg, h)
     qvel = state.qvel + (h / 6.0) * (k1_v + 2 * k2_v + 2 * k3_v + k4_v)
-    return State(qpos=qpos, qvel=qvel), w
+    return State(qpos=qpos, qvel=qvel), w, rows
 
 
-def step_warm(model: Model, state: State, ctrl, warm=None):
-    """One physics timestep -> (state', warm').  warm'/warm seed the
-    implicit solver's Newton iteration across consecutive substeps
-    (MuJoCo's qacc_warmstart); None for the penalty path."""
+def step_warm(model: Model, state: State, ctrl, warm=None, sweeps=None,
+              rows=None):
+    """One physics timestep -> (state', warm', rows').  warm'/warm carry
+    the implicit solver's constraint impulses across consecutive substeps
+    (MuJoCo's warm start); rows'/rows carry the frozen constraint-row
+    context for RK4 models; both None for the penalty path.  ``sweeps``
+    overrides the dual-solver iteration count (None = cold default)."""
     if model.integrator == RK4:
-        return _rk4_step(model, state, ctrl, warm)
-    return _euler_step(model, state, ctrl, warm)
+        return _rk4_step(model, state, ctrl, warm, sweeps, rows)
+    s2, w2 = _euler_step(model, state, ctrl, warm, sweeps)
+    return s2, w2, None
 
 
 def step(model: Model, state: State, ctrl):
@@ -170,14 +187,40 @@ def step_n(model: Model, state: State, ctrl, n: int):
     do_simulation).  Uses lax.scan to keep the HLO compact; the implicit
     solver's qacc warm start is threaded through the scan carry."""
     if model.solver == PGS:
-        warm0 = (jnp.zeros_like(state.qvel), jnp.zeros((), state.qvel.dtype))
-    else:
-        warm0 = None
+        from mjrl_tpu.physics.solver import SWEEPS_WARM
+        # substep 0: cold solve (full iteration budget); remaining
+        # substeps warm-start from the previous impulses with a smaller
+        # budget — the contact configuration barely moves within a
+        # control step.  For RK4 models the constraint-row context is
+        # additionally frozen across the WHOLE control step (built once
+        # at the first stage): peg insertion's row assembly is ~80% of a
+        # dynamics eval, and its contact set moves far slower than the
+        # 0.04 s control interval.
+        state, warm, rows = step_warm(model, state, ctrl, None, None)
 
-    def body(carry, _):
-        s, w = carry
-        s2, w2 = step_warm(model, s, ctrl, w)
-        return (s2, w2), ()
+        if rows is None:        # Euler: rows rebuilt per substep
+            def body(carry, _):
+                s, w = carry
+                s2, w2, _ = step_warm(model, s, ctrl, w,
+                                      sweeps=SWEEPS_WARM)
+                return (s2, w2), ()
 
-    (out, _), _ = jax.lax.scan(body, (state, warm0), None, length=n)
+            (out, _), _ = jax.lax.scan(body, (state, warm), None,
+                                       length=n - 1)
+            return out
+
+        def body(carry, _):
+            s, w, r = carry
+            s2, w2, r2 = step_warm(model, s, ctrl, w, sweeps=SWEEPS_WARM,
+                                   rows=r)
+            return (s2, w2, r), ()      # keep the substep-0 rows frozen
+
+        (out, _, _), _ = jax.lax.scan(body, (state, warm, rows), None,
+                                      length=n - 1)
+        return out
+
+    def body(s, _):
+        return step(model, s, ctrl), ()
+
+    out, _ = jax.lax.scan(body, state, None, length=n)
     return out

@@ -140,6 +140,14 @@ def _cached_rollout(env, cfg, num_traj, horizon, eval_mode,
     return hit[0]
 
 
+def _functional_env(env):
+    """Accept either a functional env or a GymEnv wrapper (reference
+    sample_paths takes the wrapper — samplers/core.py:99)."""
+    if hasattr(env, "env") and hasattr(env.env, "reset"):
+        return env.env
+    return env
+
+
 def sample_paths(num_traj, env, policy, eval_mode=False, horizon=1e6,
                  base_seed=None, num_cpu=1, key=None, **kwargs):
     """Host-facing parity API (samplers/core.py:99-111) -> list of path
@@ -147,6 +155,7 @@ def sample_paths(num_traj, env, policy, eval_mode=False, horizon=1e6,
     process parallelism."""
     if key is None:
         key = jax.random.PRNGKey(0 if base_seed is None else int(base_seed))
+    env = _functional_env(env)
     params, transforms, cfg = _policy_parts(policy)
     T = env.horizon if horizon is None or horizon >= 1e6 else int(horizon)
     batch = _cached_rollout(env, cfg, num_traj, T, eval_mode)(

@@ -120,3 +120,34 @@ def test_parsed_model_steps():
     s = State(qpos=jnp.zeros(2), qvel=jnp.zeros(2))
     out = jax.jit(lambda s: step_n(model, s, jnp.ones(2), 5))(s)
     assert np.all(np.isfinite(np.asarray(out.qpos)))
+
+
+def test_gymnasium_reacher_pusher_tables_match_mujoco():
+    """Bring-your-own-MJCF breadth gate: gymnasium's Reacher and Pusher
+    (slide+hinge arms, cylinders, motors) parse and match the MuJoCo
+    compiler's model tables."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    mujoco = pytest.importorskip("mujoco")
+    gymnasium = pytest.importorskip("gymnasium")
+    gp = os.path.join(os.path.dirname(gymnasium.__file__),
+                      "envs/mujoco/assets")
+    for name in ("reacher", "pusher"):
+        path = os.path.join(gp, f"{name}.xml")
+        m = load_mjcf(path).finalize(jnp.float64)
+        mm = mujoco.MjModel.from_xml_path(path)
+        assert (m.nq, m.nv, m.nu) == (mm.nq, mm.nv, mm.nu), name
+        np.testing.assert_allclose(np.asarray(m.body_mass), mm.body_mass,
+                                   atol=1e-9, err_msg=name)
+        np.testing.assert_allclose(np.asarray(m.body_inertia),
+                                   mm.body_inertia, atol=1e-9,
+                                   err_msg=name)
+        np.testing.assert_allclose(np.asarray(m.qpos0), mm.qpos0,
+                                   atol=1e-12, err_msg=name)
+        np.testing.assert_allclose(np.asarray(m.dof_damping),
+                                   mm.dof_damping, atol=1e-12,
+                                   err_msg=name)
+        np.testing.assert_allclose(np.asarray(m.gear),
+                                   mm.actuator_gear[:, 0], atol=1e-12,
+                                   err_msg=name)

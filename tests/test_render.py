@@ -31,4 +31,8 @@ def test_visualize_policy(tmp_path):
     n = visualize_policy(e, pol, num_episodes=1, horizon=5,
                          save_dir=str(tmp_path))
     assert n >= 5
+    assert os.path.exists(tmp_path / "episode_0.mp4")
+    assert os.path.getsize(tmp_path / "episode_0.mp4") > 1000
+    n = visualize_policy(e, pol, num_episodes=1, horizon=3,
+                         save_dir=str(tmp_path), video_format="gif")
     assert os.path.exists(tmp_path / "episode_0.gif")

@@ -148,3 +148,29 @@ def test_newton_matches_mujoco_on_contact_states(name, make_model):
     errs = np.array(errs)
     assert np.median(errs) < 0.02, (np.median(errs), np.sort(errs)[-5:])
     assert np.percentile(errs, 90) < 0.12, np.sort(errs)[-5:]
+
+
+def test_contact_topk_matches_full_active_set():
+    """The contact_topk active-set cap (solver.py select) must not change
+    qacc when fewer than topk contacts are active — peg golden states
+    have <~20 simultaneously penetrating candidates out of 474."""
+    path = os.path.join(GOLDEN, "contact_peg_insertion.npz")
+    if not os.path.exists(path):
+        pytest.skip("no golden contact_peg_insertion")
+    from mjrl_tpu.envs.assets import peg_insertion_model
+    g = np.load(path)
+    m_full = peg_insertion_model().finalize(jnp.float64, solver="newton",
+                                            contact_topk=0)
+    m_topk = peg_insertion_model().finalize(jnp.float64, solver="newton")
+    assert m_topk.contact_topk == 64
+    acc_f = jax.jit(lambda q, v, u: qacc_smooth(
+        m_full, State(qpos=q, qvel=v), u))
+    acc_k = jax.jit(lambda q, v, u: qacc_smooth(
+        m_topk, State(qpos=q, qvel=v), u))
+    for i in range(min(len(g["qpos"]), 8)):
+        q, v, u = (jnp.asarray(g["qpos"][i]), jnp.asarray(g["qvel"][i]),
+                   jnp.asarray(g["ctrl"][i]))
+        full = np.asarray(acc_f(q, v, u))
+        topk = np.asarray(acc_k(q, v, u))
+        scale = max(np.abs(full).max(), 1.0)
+        assert np.abs(full - topk).max() / scale < 5e-3, i
