@@ -136,9 +136,9 @@ def extract_planar(model: Model):
         i0, i1, i2 = inertia[b]
         m = max(float(mass[b]), 1e-12)
         boxes.append([
-            0.5 * np.sqrt(max(6.0 * (i1 + i2 - i0) / m, 1e-12)),
-            0.5 * np.sqrt(max(6.0 * (i0 + i2 - i1) / m, 1e-12)),
-            0.5 * np.sqrt(max(6.0 * (i0 + i1 - i2) / m, 1e-12))])
+            float(0.5 * np.sqrt(max(6.0 * (i1 + i2 - i0) / m, 1e-12))),
+            float(0.5 * np.sqrt(max(6.0 * (i0 + i2 - i1) / m, 1e-12))),
+            float(0.5 * np.sqrt(max(6.0 * (i0 + i1 - i2) / m, 1e-12)))])
 
     h = float(model.timestep)
     solref = np.asarray(model.dof_solref)
@@ -170,7 +170,8 @@ def extract_planar(model: Model):
         com=tuple((float(ip[b][0]), float(ip[b][1]))
                   for b in range(1, model.nbody)),
         box=tuple(tuple(bx) for bx in boxes),
-        r0=tuple(tuple(map(tuple, r)) for r in r0s),
+        r0=tuple(tuple(tuple(float(x) for x in row) for row in r)
+                 for r in r0s),
         viscosity=float(model.viscosity),
         density=float(model.density),
         damping=tuple(float(x) for x in np.asarray(model.dof_damping)),
@@ -293,11 +294,13 @@ def _fluid(p, b, phi, com_w, vel_b):
     tco = [bx[0] * (bx[1] ** 4 + bx[2] ** 4),
            bx[1] * (bx[0] ** 4 + bx[2] ** 4),
            bx[2] * (bx[0] ** 4 + bx[1] ** 4)]
-    f_l = [(-3.0 * np.pi * diam * p.viscosity) * v_l[i]
-           - 0.5 * p.density * area[i] * jnp.abs(v_l[i]) * v_l[i]
+    c_v = float(-3.0 * np.pi * diam * p.viscosity)
+    c_w = float(-np.pi * diam ** 3 * p.viscosity)
+    f_l = [c_v * v_l[i]
+           - 0.5 * float(p.density * area[i]) * jnp.abs(v_l[i]) * v_l[i]
            for i in range(3)]
-    t_l = [(-np.pi * diam ** 3 * p.viscosity) * w_l[i]
-           - 0.5 * p.density * tco[i] * jnp.abs(w_l[i]) * w_l[i]
+    t_l = [c_w * w_l[i]
+           - 0.5 * float(p.density * tco[i]) * jnp.abs(w_l[i]) * w_l[i]
            for i in range(3)]
 
     # back to world: a_w = Rz(phi) R0 a_l; keep f xy and torque z

@@ -16,7 +16,7 @@ def test_pallas_step_matches_vmap_interpret():
     from jax.experimental import pallas as pl  # noqa: F401
     import mjrl_tpu.ops.pallas_planar as pp
 
-    m = swimmer_model().finalize(jnp.float32)
+    m = swimmer_model().finalize(jnp.float32, solver="newton")
     p = extract_planar(m)
     B = 1024
     rng = np.random.RandomState(0)
