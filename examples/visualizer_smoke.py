@@ -1,6 +1,6 @@
 """Visualizer smoke script (reference tests/visualizer_test.py:11-29):
 short NPG training on point_mass with a QuadraticBaseline, then offscreen
-policy rendering (GIFs instead of an interactive viewer)."""
+policy rendering (shaded-mesh mp4s instead of an interactive viewer)."""
 
 import os
 import sys
