@@ -121,12 +121,15 @@ def _contact_golden_models():
          .finalize(jnp.float64, solver="newton")),
         ("peg_insertion", lambda: peg_insertion_model().finalize(jnp.float64,
                                                        solver="newton")),
+        ("ant", lambda: load_mjcf(os.path.join(gympath, "ant.xml"))
+         .finalize(jnp.float64, solver="newton")),
     ]
 
 
 @pytest.mark.parametrize("name,make_model",
                          _contact_golden_models(),
-                         ids=["hopper", "walker2d", "peg_insertion"])
+                         ids=["hopper", "walker2d", "peg_insertion",
+                              "ant"])
 def test_newton_matches_mujoco_on_contact_states(name, make_model):
     """Contact-active qacc vs MuJoCo goldens (pyramidal/frictionless rows,
     solimp impedance, diagApprox regularization, Newton solve).  The

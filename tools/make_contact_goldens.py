@@ -72,8 +72,18 @@ def make(name, xml_path, sampler, n_states=40, seed=7, max_tries=4000):
           f"({tries} tries) -> {path}")
 
 
+def sample_ant(model, data, rng):
+    """Free-joint torso near touchdown; legs contact the floor."""
+    data.qpos[:] = model.qpos0
+    data.qpos[2] += rng.uniform(-0.62, -0.45)      # drop torso toward floor
+    data.qpos[7:] += rng.uniform(-0.25, 0.25, model.nq - 7)
+    data.qvel[:] = rng.uniform(-1.5, 1.5, model.nv)
+    data.ctrl[:] = rng.uniform(-1, 1, model.nu)
+
+
 if __name__ == "__main__":
     make("hopper", _gym_asset("hopper.xml"), sample_touchdown)
     make("walker2d", _gym_asset("walker2d.xml"), sample_touchdown)
     make("peg_insertion", os.path.join(REF, "peg_insertion.xml"),
          sample_peg)
+    make("ant", _gym_asset("ant.xml"), sample_ant)
