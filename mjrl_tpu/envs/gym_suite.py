@@ -21,9 +21,12 @@ Semantics follow the gym v3 task definitions:
   gym env additionally subtracts a small contact cost); terminate when
   z leaves (0.2, 1.0).
 
-Note: contacts here are penalty-based (physics/collision.py), so the
-contact response approximates MuJoCo's constraint solver — tasks are
-qualitatively faithful rather than bit-exact.
+Solver defaults are per env (``default_solver``): Walker2d and
+HalfCheetah use the implicit soft-constraint solver (physics/solver.py,
+contact qacc <=2% vs MuJoCo goldens; validated to IMPROVE learning —
+docs/BENCHMARKS.md), Hopper/Ant/Humanoid default to the penalty path
+(physics/collision.py; Ant's newton settle transient is a documented
+open issue).  Pass ``solver="newton"``/"penalty" to override.
 """
 
 import os
