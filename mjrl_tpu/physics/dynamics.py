@@ -262,6 +262,49 @@ def damping_force(model: Model, qvel):
     return -model.dof_damping * qvel
 
 
+def tendon_lengths(model: Model, qpos):
+    """Fixed-tendon lengths L = ten_J @ qpos over scalar dofs (the
+    Jacobian is constant — MuJoCo mj_tendon for mjWRAP_JOINT only).
+    Ball/free columns of ten_J are structurally zero, so the dof->qpos
+    gather is safe for every joint type."""
+    q = qpos[jnp.asarray(np.array(model.dof_qpos_idx, np.int32))]
+    return model.ten_J @ q
+
+
+def tendon_passive_force(model: Model, qpos, qvel):
+    """qfrc_passive contribution of fixed tendons: deadband spring
+    (MuJoCo mj_passive tendon branch — zero force inside
+    [springlength0, springlength1], linear outside) plus linear damping
+    on the tendon velocity, mapped back through the constant Jacobian."""
+    L = tendon_lengths(model, qpos)
+    V = model.ten_J @ qvel
+    lo, hi = model.ten_springlength[:, 0], model.ten_springlength[:, 1]
+    displacement = jnp.where(L > hi, hi - L, jnp.where(L < lo, lo - L, 0.0))
+    frc = model.ten_stiffness * displacement - model.ten_damping * V
+    return model.ten_J.T @ frc
+
+
+def tendon_limit_qacc(model: Model, qpos, qvel):
+    """Penalty-path reference acceleration for fixed-tendon length
+    limits (the tendon-row analog of limit_qacc; the implicit solver
+    handles these exactly via solver.constraint_rows)."""
+    L = tendon_lengths(model, qpos)
+    V = model.ten_J @ qvel
+    lo, hi = model.ten_range[:, 0], model.ten_range[:, 1]
+    below = jnp.maximum(lo - L, 0.0)
+    above = jnp.maximum(L - hi, 0.0)
+    dist = below - above          # signed: positive pushes length up
+    active = model.ten_limited * ((below > 0) | (above > 0)).astype(L.dtype)
+    floor = (4.0 if model.integrator == EULER else 2.0) * model.timestep
+    timeconst = jnp.maximum(model.ten_solref[:, 0], floor)
+    dampratio = model.ten_solref[:, 1]
+    k = 1.0 / jnp.maximum(timeconst * timeconst * dampratio * dampratio,
+                          1e-12)
+    b = 2.0 / jnp.maximum(timeconst, 1e-12)
+    aref = (k * jnp.clip(dist, -LIMIT_WIDTH, LIMIT_WIDTH) - b * V) * active
+    return model.ten_J.T @ aref
+
+
 def limit_qacc(model: Model, qpos, qvel):
     """Soft joint-limit response as a reference ACCELERATION.
 
@@ -425,12 +468,24 @@ def actuator_force(model: Model, ctrl, qpos=None, qvel=None):
         return qfrc.at[jnp.asarray(dof_idx)].add(force)
 
     for i, j in enumerate(model.actuator_joint):
-        da = model.jnt_dofadr[j]
-        qa = model.jnt_qposadr[j]
-        jt = model.jnt_type[j]
         gain = model.actuator_gain[i]
         b0, b1, b2 = (model.actuator_bias[i, 0], model.actuator_bias[i, 1],
                       model.actuator_bias[i, 2])
+        tid = model.actuator_tendon[i] if model.actuator_tendon else -1
+        if tid >= 0:
+            # tendon transmission: moment = gear * ten_J row, actuator
+            # length = gear * tendon length (mj_transmission mjTRN_TENDON)
+            g = model.gear[i]
+            trow = model.ten_J[tid]
+            length = g * tendon_lengths(model, qpos)[tid] \
+                if qpos is not None else 0.0
+            vel = g * jnp.dot(trow, qvel) if qvel is not None else 0.0
+            f = gain * c[i] + b0 + b1 * length + b2 * vel
+            qfrc = qfrc + g * trow * f
+            continue
+        da = model.jnt_dofadr[j]
+        qa = model.jnt_qposadr[j]
+        jt = model.jnt_type[j]
         if jt == BALL:
             gv = model.actuator_gearv[i, :3]
             rv = pm.quat_to_rotvec(qpos[qa:qa + 4]) if qpos is not None \

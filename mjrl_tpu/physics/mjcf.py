@@ -16,7 +16,9 @@ locomotion models:
   site (pos)
 - actuators: motor, position (kp/kv), velocity (kv), general
   (gainprm/biasprm); joint transmission with scalar or vector gear
-  (ball/free), ctrlrange, ctrllimited
+  (ball/free) or fixed-tendon transmission, ctrlrange, ctrllimited
+- fixed tendons: <tendon><fixed> joint/coef couplings with stiffness,
+  damping, springlength deadband, range limits (solreflimit/solimplimit)
 
 Validated field-by-field against MuJoCo-compiled golden data for all four
 reference assets (tests/test_mjcf.py).
@@ -91,7 +93,7 @@ class _Defaults:
     @staticmethod
     def _empty(parent):
         return {"joint": {}, "geom": {}, "motor": {}, "position": {},
-                "velocity": {}, "general": {}, "site": {},
+                "velocity": {}, "general": {}, "site": {}, "tendon": {},
                 "parent": parent}
 
     def parse(self, elem, parent="main"):
@@ -100,7 +102,7 @@ class _Defaults:
             self.classes[cls] = self._empty(parent)
         for child in elem:
             if child.tag in ("joint", "geom", "motor", "position",
-                             "velocity", "general", "site"):
+                             "velocity", "general", "site", "tendon"):
                 self.classes[cls][child.tag].update(child.attrib)
             elif child.tag == "default":
                 self.parse(child, parent=cls)
@@ -236,6 +238,32 @@ def load_mjcf(path=None, xml_string=None):
     worldbody = root.find("worldbody")
     walk(worldbody, 0, "main")
 
+    tendons = root.find("tendon")
+    if tendons is not None:
+        for t in tendons:
+            if t.tag != "fixed":
+                raise NotImplementedError(
+                    f"tendon type {t.tag!r} not supported yet (fixed "
+                    "tendons only; spatial tendons need wrapping geometry)")
+            a = defaults.resolve("tendon", t.get("class", "main"), t.attrib)
+            joints = [(builder.names["joint"][w.get("joint")],
+                       float(w.get("coef", "1")))
+                      for w in t if w.tag == "joint"]
+            rng = tuple(_floats(a["range"])) if "range" in a else None
+            limited = a.get("limited")
+            sl = a.get("springlength")
+            builder.add_tendon(
+                joints,
+                ten_range=rng,
+                limited=(rng is not None) if limited is None
+                else limited == "true",
+                stiffness=float(a.get("stiffness", "0")),
+                damping=float(a.get("damping", "0")),
+                springlength=tuple(_floats(sl)) if sl is not None else None,
+                solref=_solparam(a, "solreflimit", _SOLREF_DEFAULT),
+                solimp=_solparam(a, "solimplimit", _SOLIMP_DEFAULT),
+                name=a.get("name"))
+
     actuators = root.find("actuator")
     if actuators is not None:
         for m in actuators:
@@ -260,7 +288,10 @@ def load_mjcf(path=None, xml_string=None):
             else:
                 gain, bias = 1.0, (0.0, 0.0, 0.0)
             builder.add_actuator(
-                builder.names["joint"][a["joint"]],
+                joint=(builder.names["joint"][a["joint"]]
+                       if "joint" in a else None),
+                tendon=(builder.names["tendon"][a["tendon"]]
+                        if "tendon" in a else None),
                 gear=tuple(_floats(a.get("gear", "1"))),
                 gain=gain, bias=bias,
                 ctrlrange=tuple(_floats(a.get("ctrlrange", "-1 1"))),

@@ -138,6 +138,22 @@ class Model(struct.PyTreeNode):
     # ball/free joints with nonzero stiffness (quaternion springs)
     jnt_spring_quat: Tuple[int, ...] = struct.field(pytree_node=False,
                                                     default=())
+    # ---- fixed tendons (MuJoCo <tendon><fixed>): length = ten_J @ qpos
+    # over scalar dofs, so the Jacobian is CONSTANT — passive spring/
+    # damper forces, limit rows and actuator transmissions all reuse it
+    ntendon: int = struct.field(pytree_node=False, default=0)
+    ten_J: Any = None             # (ntendon, nv) constant coef matrix
+    ten_range: Any = None         # (ntendon, 2)
+    ten_limited: Any = None       # (ntendon,) float mask
+    ten_solref: Any = None        # (ntendon, 2) limit solref
+    ten_solimp: Any = None        # (ntendon, 5) limit solimp
+    ten_stiffness: Any = None     # (ntendon,)
+    ten_damping: Any = None       # (ntendon,)
+    ten_springlength: Any = None  # (ntendon, 2) deadband [lo, hi]
+    ten_invweight0: Any = None    # (ntendon,) diag(J M0^-1 J^T)
+    # per-actuator tendon transmission id (-1 = joint transmission)
+    actuator_tendon: Tuple[int, ...] = struct.field(pytree_node=False,
+                                                    default=())
     geom_pos: Any = None          # (ngeom, 3) in body frame
     geom_quat: Any = None         # (ngeom, 4)
     geom_size: Any = None         # (ngeom, 3)
@@ -264,13 +280,19 @@ def _invweights(model):
         jr = ang * mk
         body_iw[b, 0] = np.trace(jt.T @ minv @ jt) / 3.0
         body_iw[b, 1] = np.trace(jr.T @ minv @ jr) / 3.0
-    return dof_iw, body_iw
+    if model.ntendon:
+        tj = np.asarray(model.ten_J, np.float64)
+        ten_iw = np.einsum("ti,ij,tj->t", tj, minv, tj)
+    else:
+        ten_iw = np.zeros((0,))
+    return dof_iw, body_iw, ten_iw
 
 
 def _actuators_simple(actuators, joints):
     """True when every actuator is a plain motor on a scalar joint —
     the one-scatter fast path in dynamics.actuator_force."""
-    return all(joints[a["joint"]]["type"] not in (FREE, BALL)
+    return all(a["tendon"] < 0
+               and joints[a["joint"]]["type"] not in (FREE, BALL)
                and not np.any(a["bias"]) and a["gain"] == 1.0
                for a in actuators)
 
@@ -308,7 +330,9 @@ class ModelBuilder:
         self.geoms = []
         self.sites = []
         self.actuators = []
-        self.names = {"body": {"world": 0}, "site": {}, "geom": {}, "joint": {}}
+        self.tendons = []
+        self.names = {"body": {"world": 0}, "site": {}, "geom": {},
+                      "joint": {}, "tendon": {}}
 
     # ---- declaration API -------------------------------------------------
     def add_body(self, parent, pos=(0, 0, 0), quat=(1, 0, 0, 0), name=None):
@@ -394,16 +418,55 @@ class ModelBuilder:
             self.names["site"][name] = sid
         return sid
 
-    def add_actuator(self, joint, gear=1.0, ctrlrange=(-1.0, 1.0),
-                     ctrllimited=True, gain=1.0, bias=(0.0, 0.0, 0.0)):
+    def add_tendon(self, joints, ten_range=None, limited=None,
+                   stiffness=0.0, damping=0.0, springlength=None,
+                   solref=(0.02, 1.0), solimp=(0.9, 0.95, 0.001, 0.5, 2.0),
+                   name=None):
+        """Fixed tendon (MuJoCo <tendon><fixed>): length = sum coef *
+        qpos over the listed scalar joints.  ``joints`` is a list of
+        (joint_id, coef).  ``springlength`` is the deadband pair
+        [lo, hi] (scalar = both); None or (-1, -1) = (0, 0), matching
+        the MuJoCo 3.10 compiler's sentinel resolution."""
+        for jid, _ in joints:
+            assert self.joints[jid]["type"] in (SLIDE, HINGE), \
+                "fixed tendons couple scalar (slide/hinge) joints only"
+        if limited is None:
+            limited = ten_range is not None
+        if springlength is not None:
+            springlength = np.atleast_1d(
+                np.asarray(springlength, np.float64))
+            if len(springlength) == 1:
+                springlength = np.repeat(springlength, 2)
+        tid = len(self.tendons)
+        self.tendons.append(dict(
+            joints=[(int(j), float(c)) for j, c in joints],
+            range=np.asarray(
+                ten_range if ten_range is not None else (0.0, 0.0),
+                np.float64),
+            limited=float(bool(limited)), stiffness=float(stiffness),
+            damping=float(damping), springlength=springlength,
+            solref=np.asarray(solref, np.float64),
+            solimp=np.asarray(solimp, np.float64)))
+        if name:
+            self.names["tendon"][name] = tid
+        return tid
+
+    def add_actuator(self, joint=None, gear=1.0, ctrlrange=(-1.0, 1.0),
+                     ctrllimited=True, gain=1.0, bias=(0.0, 0.0, 0.0),
+                     tendon=None):
         """Affine actuator (MuJoCo gaintype=fixed biastype=affine) on a
-        joint transmission.  ``gear`` is a scalar for slide/hinge, or a
-        vector (3 for ball, 6 for free joints).  motor: defaults;
-        position servo: gain=kp, bias=(0,-kp,-kv); velocity servo:
-        gain=kv, bias=(0,0,-kv)."""
+        joint or fixed-tendon transmission.  ``gear`` is a scalar for
+        slide/hinge/tendon, or a vector (3 for ball, 6 for free
+        joints).  motor: defaults; position servo: gain=kp,
+        bias=(0,-kp,-kv); velocity servo: gain=kv, bias=(0,0,-kv)."""
+        assert (joint is None) != (tendon is None), \
+            "actuator needs exactly one of joint= or tendon="
         gear = np.atleast_1d(np.asarray(gear, np.float64))
-        jt = self.joints[joint]["type"]
-        need = {FREE: 6, BALL: 3}.get(jt, 1)
+        if tendon is None:
+            jt = self.joints[joint]["type"]
+            need = {FREE: 6, BALL: 3}.get(jt, 1)
+        else:
+            need = 1
         if len(gear) == 1:
             gear = np.concatenate([gear, np.zeros(need - 1)]) \
                 if need > 1 else gear
@@ -412,7 +475,9 @@ class ModelBuilder:
         gearv = np.zeros(6)
         gearv[:len(gear[:6])] = gear[:6]
         self.actuators.append(dict(
-            joint=joint, gear=float(gearv[0]), gearv=gearv,
+            joint=-1 if joint is None else joint,
+            tendon=-1 if tendon is None else tendon,
+            gear=float(gearv[0]), gearv=gearv,
             gain=float(gain), bias=np.asarray(bias, np.float64),
             ctrlrange=np.asarray(ctrlrange, np.float64),
             ctrllimited=float(bool(ctrllimited))))
@@ -581,6 +646,22 @@ class ModelBuilder:
                 dof_ref[da] = x["ref"]
                 dof_qpos_idx[da] = qa
 
+        # fixed-tendon tables: constant Jacobian over scalar dofs.
+        # springlength: the exact (-1, -1) sentinel (MuJoCo's unset
+        # default) resolves to (0, 0); any other value — including
+        # negative fixed-tendon lengths, which are legal signed sums —
+        # is literal (verified against the MuJoCo 3.10 compiler).
+        ntendon = len(self.tendons)
+        ten_J = np.zeros((ntendon, nv))
+        ten_spring = np.zeros((ntendon, 2))
+        for ti, t in enumerate(self.tendons):
+            for jid, coef in t["joints"]:
+                ten_J[ti, jnt_dofadr[jid]] += coef
+            sl = t["springlength"]
+            if sl is None or (sl[0] == -1 and sl[1] == -1):
+                sl = np.zeros(2)
+            ten_spring[ti] = sl
+
         model = Model(
             nbody=nbody, njnt=njnt, nq=nq, nv=nv, nu=nu, ngeom=ngeom,
             nsite=nsite,
@@ -630,6 +711,22 @@ class ModelBuilder:
             jnt_spring_quat=tuple(
                 ji for ji, x in enumerate(j)
                 if x["type"] in (BALL, FREE) and x["stiffness"]),
+            ntendon=ntendon,
+            ten_J=arr(ten_J),
+            ten_range=arr([t["range"] for t in self.tendons]
+                          ).reshape(ntendon, 2),
+            ten_limited=arr([t["limited"] for t in self.tendons]
+                            ).reshape(ntendon),
+            ten_solref=arr([t["solref"] for t in self.tendons]
+                           ).reshape(ntendon, 2),
+            ten_solimp=arr([t["solimp"] for t in self.tendons]
+                           ).reshape(ntendon, 5),
+            ten_stiffness=arr([t["stiffness"] for t in self.tendons]
+                              ).reshape(ntendon),
+            ten_damping=arr([t["damping"] for t in self.tendons]
+                            ).reshape(ntendon),
+            ten_springlength=arr(ten_spring),
+            actuator_tendon=tuple(a["tendon"] for a in self.actuators),
             geom_pos=arr([g["pos"] for g in self.geoms]).reshape(ngeom, 3),
             geom_quat=arr([g["quat"] for g in self.geoms]).reshape(ngeom, 4),
             geom_size=arr([g["size"] for g in self.geoms]).reshape(ngeom, 3),
@@ -644,11 +741,12 @@ class ModelBuilder:
             viscosity=arr(self.opt["viscosity"]),
             density=arr(self.opt["density"]),
         )
-        dof_iw, body_iw = _invweights(model)
+        dof_iw, body_iw, ten_iw = _invweights(model)
         if contact_topk is None:
             from mjrl_tpu.physics.collision import contact_geom_ids
             n_expanded = len(contact_geom_ids(model)[0])
             contact_topk = 64 if n_expanded > 64 else 0
         return model.replace(dof_invweight0=arr(dof_iw),
                              body_invweight0=arr(body_iw),
+                             ten_invweight0=arr(ten_iw),
                              contact_topk=int(contact_topk))

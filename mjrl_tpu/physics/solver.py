@@ -141,6 +141,26 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
         regs.append(((1.0 - imp_b) / imp_b
                      * model.dof_invweight0[da])[None])
 
+    # ---- fixed-tendon length limits ------------------------------------
+    # one signed row per limited tendon with the constant Jacobian
+    # ten_J (mjCNSTR_LIMIT_TENDON); R from diag(J M0^-1 J^T)
+    if model.ntendon:
+        L = model.ten_J @ q
+        tlo, thi = model.ten_range[:, 0], model.ten_range[:, 1]
+        t_below = jnp.maximum(tlo - L, 0.0)
+        t_above = jnp.maximum(L - thi, 0.0)
+        t_lower = t_below >= t_above
+        t_sign = jnp.where(t_lower, 1.0, -1.0)
+        t_dist = jnp.where(t_lower, L - tlo, thi - L)
+        active_t = model.ten_limited * ((t_below > 0) | (t_above > 0))
+        k_t, b_t = _kb(model.ten_solref, model.ten_solimp, h)
+        imp_t = impedance(model.ten_solimp, jnp.maximum(-t_dist, 0.0))
+        rows.append(t_sign[:, None] * model.ten_J)
+        arefs.append(-k_t * imp_t * t_dist)
+        brows.append(b_t)
+        actives.append(active_t.astype(dtype))
+        regs.append((1.0 - imp_t) / imp_t * model.ten_invweight0)
+
     # ---- contacts ------------------------------------------------------
     # condim 1 pairs -> one frictionless normal row (mjCNSTR_CONTACT_
     # FRICTIONLESS); condim 3 -> 4 pyramidal facet rows.  The pair condim

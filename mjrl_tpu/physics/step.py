@@ -67,6 +67,9 @@ def _forces_and_mass(model: Model, state: State, ctrl):
     qfrc = dyn.actuator_force(model, ctrl, state.qpos, state.qvel)
     qfrc = qfrc + dyn.spring_force(model, state.qpos)
     qfrc = qfrc + dyn.damping_force(model, state.qvel)
+    if model.ntendon:
+        qfrc = qfrc + dyn.tendon_passive_force(model, state.qpos,
+                                               state.qvel)
     fluid = dyn.fluid_force(model, data, cvel)
     qfrc = qfrc + dyn.project_body_forces(model, cdof, fluid)
     if model.solver == PGS:
@@ -81,6 +84,9 @@ def _forces_and_mass(model: Model, state: State, ctrl):
     if BALL in model.jnt_type:
         qacc_ref = qacc_ref + dyn.ball_limit_qacc(model, state.qpos,
                                                   state.qvel)
+    if model.ntendon:
+        qacc_ref = qacc_ref + dyn.tendon_limit_qacc(model, state.qpos,
+                                                    state.qvel)
     return m, qfrc, bias, qacc_ref, None
 
 
