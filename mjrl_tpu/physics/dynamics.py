@@ -28,8 +28,8 @@ import jax.numpy as jnp
 
 from mjrl_tpu.physics import math as pm
 from mjrl_tpu.physics.kinematics import Data
-from mjrl_tpu.physics.model import (BALL, EULER, FREE, HINGE, JNT_NV, SLIDE,
-                                    Model)
+from mjrl_tpu.physics.model import (BALL, EQ_CONNECT, EQ_JOINT, EULER, FREE,
+                                    HINGE, JNT_NV, SLIDE, Model)
 
 
 # ---------------------------------------------------------------------------
@@ -387,6 +387,86 @@ def ball_limit_qacc(model: Model, qpos, qvel):
             + jrow[2] * qvel[da + 2]
         aref = (-k * jnp.clip(viol, -LIMIT_WIDTH, 0.0) - b * jv) * active
         qacc = qacc.at[da:da + 3].add(jrow * aref)
+    return qacc
+
+
+def equality_terms(model: Model, data: Data, cdof, qpos):
+    """Residuals + Jacobians for equality constraints (static count).
+
+    Returns a list of (i, jrows (k, nv), res (k,), imppos, iw) — one
+    entry per constraint: k = 1 row for a joint coupling, 3 for a
+    connect.  ``imppos`` is the scalar impedance position (|res| /
+    ||res||, MuJoCo's per-constraint impedance input) and ``iw`` the
+    diagApprox inverse weight.  Semantics verified against MuJoCo 3.10
+    (tests/test_equality.py): joint residual = (q1 - q1_0) -
+    poly(q2 - q2_0) with quartic eq_data[:5]; connect residual =
+    world(anchor1 on body1) - world(anchor2 on body2)."""
+    out = []
+    dtype = qpos.dtype
+    mask = ancestor_mask(model)                  # (nbody, nv) numpy
+    for i in range(model.neq):
+        kind = model.eq_kind[i]
+        if kind == EQ_JOINT:
+            j1, j2 = model.eq_obj1[i], model.eq_obj2[i]
+            d1, qa1 = model.jnt_dofadr[j1], model.jnt_qposadr[j1]
+            c = model.eq_data[i, :5]
+            if j2 >= 0:
+                d2, qa2 = model.jnt_dofadr[j2], model.jnt_qposadr[j2]
+                dq = qpos[qa2] - model.qpos0[qa2]
+                poly = c[0] + dq * (c[1] + dq * (c[2] + dq * (c[3]
+                                                             + dq * c[4])))
+                dpoly = c[1] + dq * (2 * c[2] + dq * (3 * c[3]
+                                                      + dq * 4 * c[4]))
+                res = (qpos[qa1] - model.qpos0[qa1]) - poly
+                jrow = jnp.zeros((model.nv,), dtype).at[d1].set(1.0) \
+                    .at[d2].add(-dpoly)
+                iw = (model.dof_invweight0[d1] + model.dof_invweight0[d2])
+            else:
+                res = qpos[qa1] - model.qpos0[qa1] - c[0]
+                jrow = jnp.zeros((model.nv,), dtype).at[d1].set(1.0)
+                iw = model.dof_invweight0[d1]
+            out.append((i, jrow[None], res[None], jnp.abs(res), iw))
+        elif kind == EQ_CONNECT:
+            b1, b2 = model.eq_obj1[i], model.eq_obj2[i]
+            p1 = data.xpos[b1] + data.xmat[b1] @ model.eq_data[i, :3]
+            p2 = data.xpos[b2] + data.xmat[b2] @ model.eq_data[i, 3:]
+            res = p1 - p2
+            ang, lin = cdof[:, :3], cdof[:, 3:]
+            m1 = jnp.asarray(mask[b1], dtype)
+            m2 = jnp.asarray(mask[b2], dtype)
+            # world velocity of the anchor point per unit dof velocity
+            v1 = lin + jnp.cross(ang, jnp.broadcast_to(p1, ang.shape))
+            v2 = lin + jnp.cross(ang, jnp.broadcast_to(p2, ang.shape))
+            jrows = (m1[:, None] * v1 - m2[:, None] * v2).T   # (3, nv)
+            iw = (model.body_invweight0[b1, 0]
+                  + model.body_invweight0[b2, 0])
+            out.append((i, jrows, res,
+                        jnp.sqrt(jnp.sum(res * res) + 1e-18), iw))
+        else:
+            raise NotImplementedError(f"equality kind {kind}")
+    return out
+
+
+def equality_qacc(model: Model, data: Data, cdof, qpos, qvel):
+    """Penalty-path reference acceleration for equality constraints
+    (critically-damped bilateral response from eq_solref; the implicit
+    solver handles these exactly via solver.constraint_rows)."""
+    qacc = jnp.zeros((model.nv,), qvel.dtype)
+    floor = (4.0 if model.integrator == EULER else 2.0) * model.timestep
+    for i, jrows, res, _, _ in equality_terms(model, data, cdof, qpos):
+        timeconst = jnp.maximum(model.eq_solref[i, 0], floor)
+        dampratio = model.eq_solref[i, 1]
+        k = 1.0 / jnp.maximum(
+            timeconst * timeconst * dampratio * dampratio, 1e-12)
+        b = 2.0 / jnp.maximum(timeconst, 1e-12)
+        jv = jrows @ qvel
+        # saturation 10x wider than the limit response: bilateral rows
+        # restore from both sides (no fly-away mode), and the tighter
+        # clip lets steady loads hold a visible residual open
+        width = 10.0 * LIMIT_WIDTH
+        aref = (-k * jnp.clip(res, -width, width) - b * jv) \
+            * model.eq_active[i]
+        qacc = qacc + jrows.T @ aref
     return qacc
 
 

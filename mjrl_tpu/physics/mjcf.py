@@ -19,6 +19,8 @@ locomotion models:
   (ball/free) or fixed-tendon transmission, ctrlrange, ctrllimited
 - fixed tendons: <tendon><fixed> joint/coef couplings with stiffness,
   damping, springlength deadband, range limits (solreflimit/solimplimit)
+- equality constraints: <equality><joint> (quartic coupling) and
+  <connect> (body-point ball constraint), solref/solimp/active
 
 Validated field-by-field against MuJoCo-compiled golden data for all four
 reference assets (tests/test_mjcf.py).
@@ -263,6 +265,33 @@ def load_mjcf(path=None, xml_string=None):
                 solref=_solparam(a, "solreflimit", _SOLREF_DEFAULT),
                 solimp=_solparam(a, "solimplimit", _SOLIMP_DEFAULT),
                 name=a.get("name"))
+
+    equality = root.find("equality")
+    if equality is not None:
+        for e in equality:
+            a = e.attrib
+            common = dict(
+                solref=_solparam(a, "solref", _SOLREF_DEFAULT),
+                solimp=_solparam(a, "solimp", _SOLIMP_DEFAULT),
+                active=a.get("active", "true") == "true")
+            if e.tag == "joint":
+                poly = list(_floats(a.get("polycoef", "0 1 0 0 0")))
+                builder.add_equality_joint(
+                    builder.names["joint"][a["joint1"]],
+                    (builder.names["joint"][a["joint2"]]
+                     if "joint2" in a else None),
+                    polycoef=tuple(poly + [0.0] * (5 - len(poly))),
+                    **common)
+            elif e.tag == "connect":
+                builder.add_equality_connect(
+                    builder.names["body"][a["body1"]],
+                    builder.names["body"].get(a.get("body2", "world"), 0),
+                    anchor=tuple(_floats(a.get("anchor", "0 0 0"))),
+                    **common)
+            else:
+                raise NotImplementedError(
+                    f"equality type {e.tag!r} not supported yet "
+                    "(joint/connect only)")
 
     actuators = root.find("actuator")
     if actuators is not None:

@@ -56,6 +56,10 @@ RK4 = 1
 PENALTY = 0   # explicit penalties (default; fast, approximate)
 PGS = 1       # implicit dual with projected Jacobi (physics/solver.py)
 
+# equality constraint kinds (MuJoCo mjtEq values)
+EQ_CONNECT = 0   # 3-dof ball joint between body points
+EQ_JOINT = 2     # quartic polynomial coupling of two scalar joints
+
 
 class Model(struct.PyTreeNode):
     # ---- static topology (trace constants) ----
@@ -154,6 +158,21 @@ class Model(struct.PyTreeNode):
     # per-actuator tendon transmission id (-1 = joint transmission)
     actuator_tendon: Tuple[int, ...] = struct.field(pytree_node=False,
                                                     default=())
+    # ---- equality constraints (MuJoCo <equality>): bilateral soft
+    # constraint rows solved by the implicit solver (unclamped impulses)
+    # or a reference-acceleration approximation on the penalty path
+    neq: int = struct.field(pytree_node=False, default=0)
+    eq_kind: Tuple[int, ...] = struct.field(pytree_node=False,
+                                            default=())  # EQ_CONNECT/EQ_JOINT
+    eq_obj1: Tuple[int, ...] = struct.field(pytree_node=False,
+                                            default=())  # body / joint id
+    eq_obj2: Tuple[int, ...] = struct.field(pytree_node=False,
+                                            default=())  # -1 = world/none
+    eq_data: Any = None           # (neq, 6): connect anchor1+anchor2 /
+    #                               joint polycoef (5 quartic coefs)
+    eq_solref: Any = None         # (neq, 2)
+    eq_solimp: Any = None         # (neq, 5)
+    eq_active: Any = None         # (neq,) float mask
     geom_pos: Any = None          # (ngeom, 3) in body frame
     geom_quat: Any = None         # (ngeom, 4)
     geom_size: Any = None         # (ngeom, 3)
@@ -331,6 +350,7 @@ class ModelBuilder:
         self.sites = []
         self.actuators = []
         self.tendons = []
+        self.equalities = []
         self.names = {"body": {"world": 0}, "site": {}, "geom": {},
                       "joint": {}, "tendon": {}}
 
@@ -450,6 +470,45 @@ class ModelBuilder:
         if name:
             self.names["tendon"][name] = tid
         return tid
+
+    def add_equality_joint(self, joint1, joint2=None,
+                           polycoef=(0.0, 1.0, 0.0, 0.0, 0.0),
+                           solref=(0.02, 1.0),
+                           solimp=(0.9, 0.95, 0.001, 0.5, 2.0),
+                           active=True):
+        """Quartic joint coupling (MuJoCo <equality><joint>):
+        (q1 - q1_0) = poly(q2 - q2_0); joint2 None pins joint1 at
+        q1_0 + polycoef[0]."""
+        for jid in (joint1,) + (() if joint2 is None else (joint2,)):
+            assert self.joints[jid]["type"] in (SLIDE, HINGE), \
+                "joint equality couples scalar (slide/hinge) joints only"
+        data = np.zeros(6)
+        data[:5] = np.asarray(polycoef, np.float64)[:5]
+        self.equalities.append(dict(
+            kind=EQ_JOINT, obj1=int(joint1),
+            obj2=-1 if joint2 is None else int(joint2), data=data,
+            solref=np.asarray(solref, np.float64),
+            solimp=np.asarray(solimp, np.float64),
+            active=float(bool(active))))
+        return len(self.equalities) - 1
+
+    def add_equality_connect(self, body1, body2, anchor,
+                             solref=(0.02, 1.0),
+                             solimp=(0.9, 0.95, 0.001, 0.5, 2.0),
+                             active=True):
+        """3-dof connect constraint (MuJoCo <equality><connect>):
+        ``anchor`` is in body1's local frame; the coincident body2-local
+        point is computed at qpos0 by finalize() (the MuJoCo compiler
+        rule).  body2 = 0 welds the point to the world."""
+        data = np.zeros(6)
+        data[:3] = np.asarray(anchor, np.float64)
+        data[3:] = np.nan                 # resolved at finalize
+        self.equalities.append(dict(
+            kind=EQ_CONNECT, obj1=int(body1), obj2=int(body2), data=data,
+            solref=np.asarray(solref, np.float64),
+            solimp=np.asarray(solimp, np.float64),
+            active=float(bool(active))))
+        return len(self.equalities) - 1
 
     def add_actuator(self, joint=None, gear=1.0, ctrlrange=(-1.0, 1.0),
                      ctrllimited=True, gain=1.0, bias=(0.0, 0.0, 0.0),
@@ -727,6 +786,18 @@ class ModelBuilder:
                             ).reshape(ntendon),
             ten_springlength=arr(ten_spring),
             actuator_tendon=tuple(a["tendon"] for a in self.actuators),
+            neq=len(self.equalities),
+            eq_kind=tuple(e["kind"] for e in self.equalities),
+            eq_obj1=tuple(e["obj1"] for e in self.equalities),
+            eq_obj2=tuple(e["obj2"] for e in self.equalities),
+            eq_data=arr([e["data"] for e in self.equalities]
+                        ).reshape(len(self.equalities), 6),
+            eq_solref=arr([e["solref"] for e in self.equalities]
+                          ).reshape(len(self.equalities), 2),
+            eq_solimp=arr([e["solimp"] for e in self.equalities]
+                          ).reshape(len(self.equalities), 5),
+            eq_active=arr([e["active"] for e in self.equalities]
+                          ).reshape(len(self.equalities)),
             geom_pos=arr([g["pos"] for g in self.geoms]).reshape(ngeom, 3),
             geom_quat=arr([g["quat"] for g in self.geoms]).reshape(ngeom, 4),
             geom_size=arr([g["size"] for g in self.geoms]).reshape(ngeom, 3),
@@ -746,7 +817,25 @@ class ModelBuilder:
             from mjrl_tpu.physics.collision import contact_geom_ids
             n_expanded = len(contact_geom_ids(model)[0])
             contact_topk = 64 if n_expanded > 64 else 0
+        # resolve connect anchors: the body2-local point coincident with
+        # body1's anchor at qpos0 (the MuJoCo compiler rule)
+        eq_data = np.array(model.eq_data, np.float64) \
+            if model.neq else None
+        if model.neq and np.isnan(eq_data).any():
+            import jax
+            from mjrl_tpu.physics.kinematics import fwd_kinematics
+            with jax.default_device(jax.devices("cpu")[0]):
+                data0 = fwd_kinematics(model, model.qpos0)
+            xpos = np.asarray(data0.xpos, np.float64)
+            xmat = np.asarray(data0.xmat, np.float64)
+            for i, e in enumerate(self.equalities):
+                if e["kind"] == EQ_CONNECT:
+                    b1, b2 = e["obj1"], e["obj2"]
+                    p1 = xpos[b1] + xmat[b1] @ eq_data[i, :3]
+                    eq_data[i, 3:] = xmat[b2].T @ (p1 - xpos[b2])
         return model.replace(dof_invweight0=arr(dof_iw),
                              body_invweight0=arr(body_iw),
                              ten_invweight0=arr(ten_iw),
+                             eq_data=(arr(eq_data) if eq_data is not None
+                                      else model.eq_data),
                              contact_topk=int(contact_topk))

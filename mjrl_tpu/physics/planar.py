@@ -73,7 +73,8 @@ def extract_planar(model: Model):
     dual QP), not the penalty approximation."""
     if model.integrator != EULER or model.solver != PGS:
         return None
-    if model.nq != model.nv or model.nbody < 2 or model.ntendon:
+    if model.nq != model.nv or model.nbody < 2 or model.ntendon \
+            or model.neq:
         return None
     g = np.asarray(model.gravity)
     if abs(g[0]) > 0 or abs(g[1]) > 0:

@@ -48,7 +48,8 @@ import jax
 import jax.numpy as jnp
 
 from mjrl_tpu.physics.collision import contact_geom_ids, find_contacts
-from mjrl_tpu.physics.dynamics import ancestor_mask, ball_limit_terms
+from mjrl_tpu.physics.dynamics import (ancestor_mask, ball_limit_terms,
+                                       equality_terms)
 from mjrl_tpu.physics.model import BALL, Model
 from mjrl_tpu.ops.linalg import chol_solve_unrolled
 
@@ -96,20 +97,38 @@ def _impedance_components(si, violation):
 
 def constraint_rows(model: Model, data, cdof, qpos, qvel):
     """Assemble the static constraint rows -> (J (C, nv), aref_pos (C,),
-    b_row (C,), active (C,), R (C,)).
+    b_row (C,), active (C,), R (C,), lo (C,)).
 
     The velocity part of MuJoCo's reference acceleration is kept
     SEPARATE: aref(v) = aref_pos - b_row * (J v), so a frozen row
     context can be reused across RK4 stages / substeps with only the
     cheap J v matvec recomputed (see constrained_qacc ctx).
 
-    Row layout: one signed row per limited scalar dof, one row per ball
-    joint rotation limit, then contact rows (frictionless or 4 pyramidal
-    facets per point).
+    Row layout (MuJoCo efc order): bilateral equality rows first
+    (1 per joint coupling, 3 per connect; impulse lower bound lo =
+    -inf), then one signed row per limited scalar dof, one row per ball
+    joint rotation limit, one per limited tendon, then contact rows
+    (frictionless or 4 pyramidal facets per point) — all with lo = 0.
     """
     dtype = qvel.dtype
     h = model.timestep
     rows, arefs, brows, actives, regs = [], [], [], [], []
+
+    # ---- equality constraints (FIRST, matching MuJoCo's efc order) ----
+    # bilateral rows: their impulses are unclamped (lo = -inf below)
+    n_eq_rows = 0
+    for i, jrows, res, imppos, iw in equality_terms(model, data, cdof,
+                                                    qpos):
+        k_e, b_e = _kb(model.eq_solref[i], model.eq_solimp[i], h)
+        imp_e = impedance(model.eq_solimp[i], imppos)
+        K = jrows.shape[0]
+        n_eq_rows += K
+        rows.append(jrows)
+        arefs.append(-k_e * imp_e * res)
+        brows.append(jnp.full((K,), 1.0, dtype) * b_e)
+        actives.append(jnp.full((K,), 1.0, dtype) * model.eq_active[i])
+        regs.append(jnp.full((K,), 1.0, dtype)
+                    * ((1.0 - imp_e) / imp_e * iw))
 
     # ---- scalar-dof joint limits ---------------------------------------
     nv = model.nv
@@ -283,9 +302,14 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
                     actives.append(t_active)
                     regs.append(r_f)
 
-    return (jnp.concatenate(rows), jnp.concatenate(arefs),
+    j_all = jnp.concatenate(rows)
+    # impulse lower bounds: equality rows (the static prefix) are
+    # bilateral, every other row is a unilateral force >= 0
+    lo = jnp.concatenate([jnp.full((n_eq_rows,), -jnp.inf, dtype),
+                          jnp.zeros((j_all.shape[0] - n_eq_rows,), dtype)])
+    return (j_all, jnp.concatenate(arefs),
             jnp.concatenate(brows), jnp.concatenate(actives),
-            jnp.concatenate(regs))
+            jnp.concatenate(regs), lo)
 
 
 def _ball_rows(model: Model, qpos):
@@ -295,9 +319,12 @@ def _ball_rows(model: Model, qpos):
 
 
 def n_constraint_rows(model: Model):
-    """Static total row count (limits + ball limits + contact rows) — the
-    shape of the warm-start impulse vector threaded through step_n.
-    Accounts for the contact_topk active-set cap per condim class."""
+    """Static total row count (equality + limits + ball limits + tendon
+    limits + contact rows) — the shape of the warm-start impulse vector
+    threaded through step_n.  Accounts for the contact_topk active-set
+    cap per condim class."""
+    from mjrl_tpu.physics.model import EQ_CONNECT
+    n_eq = sum(3 if k == EQ_CONNECT else 1 for k in model.eq_kind)
     n_ball = sum(1 for t in model.jnt_type if t == BALL)
     g1_np, g2_np = contact_geom_ids(model)
     if len(g1_np):
@@ -311,10 +338,10 @@ def n_constraint_rows(model: Model):
         n_con = n_1 + 4 * n_3
     else:
         n_con = 0
-    return model.nv + n_ball + n_con
+    return n_eq + model.nv + n_ball + model.ntendon + n_con
 
 
-def solve_qacc(m, a0, j, aref, active, r, lam0, sweeps=SWEEPS):
+def solve_qacc(m, a0, j, aref, active, r, lam0, sweeps=SWEEPS, lo=None):
     """Diagonally-preconditioned APGD solve of the regularized DUAL
     -> (qacc, lam).
 
@@ -356,11 +383,14 @@ def solve_qacc(m, a0, j, aref, active, r, lam0, sweeps=SWEEPS):
 
     rhs = (aref - j @ a0) / ds
     mu0 = lam0 * active * ds
+    # impulse lower bound in the scaled space (0 = unilateral force>=0,
+    # -inf = bilateral equality row)
+    mu_lo = jnp.zeros_like(ds) if lo is None else lo * ds
 
     def apgd(carry, _):
         mu, y, t = carry
         g = op(y) - rhs
-        mu_new = jnp.maximum(y - g / el, 0.0) * active
+        mu_new = jnp.maximum(y - g / el, mu_lo) * active
         # adaptive restart (gradient test): kill momentum when the
         # momentum direction opposes descent
         restart = jnp.sum((y - mu_new) * (mu_new - mu)) > 0
@@ -394,11 +424,12 @@ def constrained_qacc(model: Model, data, cdof, qpos, qvel, m,
     a0 = chol_solve_unrolled(m, qfrc_minus_bias)
     if ctx is None:
         ctx = constraint_rows(model, data, cdof, qpos, qvel)
-    j, aref_pos, b_row, active, r = ctx
+    j, aref_pos, b_row, active, r, lo = ctx
     lam0 = jnp.zeros(j.shape[:1], a0.dtype) if warm is None else warm
     if j.shape[0] == 0:
         return a0, a0, lam0, ctx
     aref = aref_pos - b_row * (j @ qvel)
     qacc, lam = solve_qacc(m, a0, j, aref, active, r, lam0,
-                           sweeps=SWEEPS if sweeps is None else sweeps)
+                           sweeps=SWEEPS if sweeps is None else sweeps,
+                           lo=lo)
     return qacc, a0, lam, ctx

@@ -87,6 +87,9 @@ def _forces_and_mass(model: Model, state: State, ctrl):
     if model.ntendon:
         qacc_ref = qacc_ref + dyn.tendon_limit_qacc(model, state.qpos,
                                                     state.qvel)
+    if model.neq:
+        qacc_ref = qacc_ref + dyn.equality_qacc(model, data, cdof,
+                                                state.qpos, state.qvel)
     return m, qfrc, bias, qacc_ref, None
 
 
