@@ -23,13 +23,14 @@ limits derived from solref (timeconst, dampratio), and the MuJoCo
 swimmer (reference assets/swimmer.xml:16).
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
 from mjrl_tpu.physics import math as pm
 from mjrl_tpu.physics.kinematics import Data
-from mjrl_tpu.physics.model import (BALL, EQ_CONNECT, EQ_JOINT, EULER, FREE,
-                                    HINGE, JNT_NV, SLIDE, Model)
+from mjrl_tpu.physics.model import (BALL, EQ_CONNECT, EQ_JOINT, EQ_WELD,
+                                    EULER, FREE, HINGE, JNT_NV, SLIDE, Model)
 
 
 # ---------------------------------------------------------------------------
@@ -395,12 +396,13 @@ def equality_terms(model: Model, data: Data, cdof, qpos):
 
     Returns a list of (i, jrows (k, nv), res (k,), imppos, iw) — one
     entry per constraint: k = 1 row for a joint coupling, 3 for a
-    connect.  ``imppos`` is the scalar impedance position (|res| /
-    ||res||, MuJoCo's per-constraint impedance input) and ``iw`` the
-    diagApprox inverse weight.  Semantics verified against MuJoCo 3.10
-    (tests/test_equality.py): joint residual = (q1 - q1_0) -
-    poly(q2 - q2_0) with quartic eq_data[:5]; connect residual =
-    world(anchor1 on body1) - world(anchor2 on body2)."""
+    connect, 6 for a weld.  ``imppos`` is the scalar impedance position
+    (|res| / ||res||, MuJoCo's per-constraint impedance input) and
+    ``iw`` the diagApprox inverse weight (scalar or (k,)).  Semantics
+    verified against MuJoCo 3.10 (tests/test_equality.py): joint
+    residual = (q1 - q1_0) - poly(q2 - q2_0) with quartic eq_data[:5];
+    connect residual = world(anchor1 on body1) - world(anchor2 on
+    body2); weld appends ts * vec(q2^-1 (x) q1 (x) relq)."""
     out = []
     dtype = qpos.dtype
     mask = ancestor_mask(model)                  # (nbody, nv) numpy
@@ -429,22 +431,72 @@ def equality_terms(model: Model, data: Data, cdof, qpos):
         elif kind == EQ_CONNECT:
             b1, b2 = model.eq_obj1[i], model.eq_obj2[i]
             p1 = data.xpos[b1] + data.xmat[b1] @ model.eq_data[i, :3]
-            p2 = data.xpos[b2] + data.xmat[b2] @ model.eq_data[i, 3:]
+            p2 = data.xpos[b2] + data.xmat[b2] @ model.eq_data[i, 3:6]
             res = p1 - p2
-            ang, lin = cdof[:, :3], cdof[:, 3:]
-            m1 = jnp.asarray(mask[b1], dtype)
-            m2 = jnp.asarray(mask[b2], dtype)
-            # world velocity of the anchor point per unit dof velocity
-            v1 = lin + jnp.cross(ang, jnp.broadcast_to(p1, ang.shape))
-            v2 = lin + jnp.cross(ang, jnp.broadcast_to(p2, ang.shape))
-            jrows = (m1[:, None] * v1 - m2[:, None] * v2).T   # (3, nv)
+            jrows = _point_diff_rows(model, cdof, mask, b1, b2, p1, p2,
+                                     dtype)
             iw = (model.body_invweight0[b1, 0]
                   + model.body_invweight0[b2, 0])
+            out.append((i, jrows, res,
+                        jnp.sqrt(jnp.sum(res * res) + 1e-18), iw))
+        elif kind == EQ_WELD:
+            b1, b2 = model.eq_obj1[i], model.eq_obj2[i]
+            a2 = model.eq_data[i, :3]
+            a1 = model.eq_data[i, 3:6]
+            relq = model.eq_data[i, 6:10]
+            ts = model.eq_data[i, 10]
+            p1 = data.xpos[b1] + data.xmat[b1] @ a1
+            p2 = data.xpos[b2] + data.xmat[b2] @ a2
+            res_pos = p1 - p2
+            jpos = _point_diff_rows(model, cdof, mask, b1, b2, p1, p2,
+                                    dtype)
+            # orientation: res = ts * vec(q2^-1 (x) q1 (x) relq)
+            # (composition verified against MuJoCo efc_pos); rows via
+            # the exact derivative w.r.t. incremental WORLD rotations
+            # phi, contracted with the cdof angular columns
+            q1 = pm.mat_to_quat(data.xmat[b1])
+            q2 = pm.mat_to_quat(data.xmat[b2])
+
+            def rot_res(phi):
+                dq1 = jnp.concatenate([jnp.ones((1,), dtype),
+                                       0.5 * phi[:3]])
+                dq2 = jnp.concatenate([jnp.ones((1,), dtype),
+                                       0.5 * phi[3:]])
+                q1p = pm.quat_mul(dq1, q1)
+                q2p = pm.quat_mul(dq2, q2)
+                return ts * pm.quat_mul(
+                    pm.quat_mul(pm.quat_inv(q2p), q1p), relq)[1:]
+
+            res_rot = rot_res(jnp.zeros((6,), dtype))
+            A = jax.jacfwd(rot_res)(jnp.zeros((6,), dtype))   # (3, 6)
+            ang = cdof[:, :3]
+            m1 = jnp.asarray(mask[b1], dtype)
+            m2 = jnp.asarray(mask[b2], dtype)
+            jrot = (A[:, :3] @ (ang * m1[:, None]).T
+                    + A[:, 3:] @ (ang * m2[:, None]).T)       # (3, nv)
+            res = jnp.concatenate([res_pos, res_rot])
+            jrows = jnp.concatenate([jpos, jrot])
+            iw_t = (model.body_invweight0[b1, 0]
+                    + model.body_invweight0[b2, 0])
+            iw_r = (model.body_invweight0[b1, 1]
+                    + model.body_invweight0[b2, 1])
+            iw = jnp.stack([iw_t, iw_t, iw_t, iw_r, iw_r, iw_r])
             out.append((i, jrows, res,
                         jnp.sqrt(jnp.sum(res * res) + 1e-18), iw))
         else:
             raise NotImplementedError(f"equality kind {kind}")
     return out
+
+
+def _point_diff_rows(model, cdof, mask, b1, b2, p1, p2, dtype):
+    """(3, nv) Jacobian of the world-frame difference of point p1 on
+    body b1 and point p2 on body b2 (shared by connect and weld)."""
+    ang, lin = cdof[:, :3], cdof[:, 3:]
+    m1 = jnp.asarray(mask[b1], dtype)
+    m2 = jnp.asarray(mask[b2], dtype)
+    v1 = lin + jnp.cross(ang, jnp.broadcast_to(p1, ang.shape))
+    v2 = lin + jnp.cross(ang, jnp.broadcast_to(p2, ang.shape))
+    return (m1[:, None] * v1 - m2[:, None] * v2).T
 
 
 def equality_qacc(model: Model, data: Data, cdof, qpos, qvel):

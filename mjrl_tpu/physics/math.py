@@ -57,6 +57,36 @@ def quat_inv(q):
     return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], q.dtype)
 
 
+def mat_to_quat(m):
+    """(3,3) rotation matrix -> wxyz unit quaternion (Shepperd's method:
+    the division always uses the largest of the four candidate
+    magnitudes, so it is numerically stable and differentiable in a
+    neighbourhood of every rotation)."""
+    t = m[0, 0] + m[1, 1] + m[2, 2]
+    cand = jnp.stack([1.0 + t,                          # 4w^2
+                      1.0 + m[0, 0] - m[1, 1] - m[2, 2],  # 4x^2
+                      1.0 - m[0, 0] + m[1, 1] - m[2, 2],  # 4y^2
+                      1.0 - m[0, 0] - m[1, 1] + m[2, 2]])  # 4z^2
+    # branch-free: compute all four formulations, select by argmax
+    sw = 2.0 * jnp.sqrt(jnp.maximum(cand[0], 1e-12))
+    qw = jnp.stack([0.25 * sw, (m[2, 1] - m[1, 2]) / sw,
+                    (m[0, 2] - m[2, 0]) / sw, (m[1, 0] - m[0, 1]) / sw])
+    sx = 2.0 * jnp.sqrt(jnp.maximum(cand[1], 1e-12))
+    qx = jnp.stack([(m[2, 1] - m[1, 2]) / sx, 0.25 * sx,
+                    (m[0, 1] + m[1, 0]) / sx, (m[0, 2] + m[2, 0]) / sx])
+    sy = 2.0 * jnp.sqrt(jnp.maximum(cand[2], 1e-12))
+    qy = jnp.stack([(m[0, 2] - m[2, 0]) / sy, (m[0, 1] + m[1, 0]) / sy,
+                    0.25 * sy, (m[1, 2] + m[2, 1]) / sy])
+    sz = 2.0 * jnp.sqrt(jnp.maximum(cand[3], 1e-12))
+    qz = jnp.stack([(m[1, 0] - m[0, 1]) / sz, (m[0, 2] + m[2, 0]) / sz,
+                    (m[1, 2] + m[2, 1]) / sz, 0.25 * sz])
+    k = jnp.argmax(cand)
+    # nested selects, not a dynamic gather (vmap-friendly on TPU)
+    q = jnp.where(k == 0, qw,
+                  jnp.where(k == 1, qx, jnp.where(k == 2, qy, qz)))
+    return q / jnp.sqrt(jnp.sum(q * q) + 1e-24)
+
+
 def quat_to_rotvec(q):
     """Rotation vector (axis * angle, angle in [-pi, pi]) of a unit
     quaternion — MuJoCo mju_quat2Vel at unit timestep (used by ball-joint

@@ -288,10 +288,20 @@ def load_mjcf(path=None, xml_string=None):
                     builder.names["body"].get(a.get("body2", "world"), 0),
                     anchor=tuple(_floats(a.get("anchor", "0 0 0"))),
                     **common)
+            elif e.tag == "weld":
+                rp = a.get("relpose")
+                builder.add_equality_weld(
+                    builder.names["body"][a["body1"]],
+                    builder.names["body"].get(a.get("body2", "world"), 0),
+                    anchor=tuple(_floats(a.get("anchor", "0 0 0"))),
+                    relpose=(tuple(_floats(rp)) if rp is not None
+                             else None),
+                    torquescale=float(a.get("torquescale", "1")),
+                    **common)
             else:
                 raise NotImplementedError(
                     f"equality type {e.tag!r} not supported yet "
-                    "(joint/connect only)")
+                    "(joint/connect/weld only)")
 
     actuators = root.find("actuator")
     if actuators is not None:

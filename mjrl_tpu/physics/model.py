@@ -58,6 +58,7 @@ PGS = 1       # implicit dual with projected Jacobi (physics/solver.py)
 
 # equality constraint kinds (MuJoCo mjtEq values)
 EQ_CONNECT = 0   # 3-dof ball joint between body points
+EQ_WELD = 1      # 6-dof pose weld between two bodies
 EQ_JOINT = 2     # quartic polynomial coupling of two scalar joints
 
 
@@ -168,8 +169,11 @@ class Model(struct.PyTreeNode):
                                             default=())  # body / joint id
     eq_obj2: Tuple[int, ...] = struct.field(pytree_node=False,
                                             default=())  # -1 = world/none
-    eq_data: Any = None           # (neq, 6): connect anchor1+anchor2 /
-    #                               joint polycoef (5 quartic coefs)
+    eq_data: Any = None           # (neq, 11), MuJoCo layout per kind:
+    #   joint:   [0:5] quartic polycoef
+    #   connect: [0:3] anchor (body1 local), [3:6] anchor2 (body2 local)
+    #   weld:    [0:3] anchor (body2 local), [3:6] anchor1 (body1 local
+    #            = relpose pos), [6:10] relpose quat, [10] torquescale
     eq_solref: Any = None         # (neq, 2)
     eq_solimp: Any = None         # (neq, 5)
     eq_active: Any = None         # (neq,) float mask
@@ -203,6 +207,45 @@ class State(struct.PyTreeNode):
 _GEOM_TYPES = {"plane": PLANE, "sphere": SPHERE, "capsule": CAPSULE,
                "cylinder": CYLINDER, "box": BOX}
 _JNT_TYPES = {"free": FREE, "ball": BALL, "slide": SLIDE, "hinge": HINGE}
+
+
+def _np_quat_mul(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return np.array([w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                     w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                     w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                     w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
+
+
+def _np_quat_conj(q):
+    return np.array([q[0], -q[1], -q[2], -q[3]])
+
+
+def _np_mat_to_quat(m):
+    """Host-side rotation matrix -> wxyz quaternion (largest-component
+    branch)."""
+    t = np.trace(m)
+    cand = np.array([1.0 + t,
+                     1.0 + m[0, 0] - m[1, 1] - m[2, 2],
+                     1.0 - m[0, 0] + m[1, 1] - m[2, 2],
+                     1.0 - m[0, 0] - m[1, 1] + m[2, 2]])
+    k = int(np.argmax(cand))
+    s = 2.0 * np.sqrt(max(cand[k], 1e-12))
+    if k == 0:
+        q = [0.25 * s, (m[2, 1] - m[1, 2]) / s,
+             (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s]
+    elif k == 1:
+        q = [(m[2, 1] - m[1, 2]) / s, 0.25 * s,
+             (m[0, 1] + m[1, 0]) / s, (m[0, 2] + m[2, 0]) / s]
+    elif k == 2:
+        q = [(m[0, 2] - m[2, 0]) / s, (m[0, 1] + m[1, 0]) / s,
+             0.25 * s, (m[1, 2] + m[2, 1]) / s]
+    else:
+        q = [(m[1, 0] - m[0, 1]) / s, (m[0, 2] + m[2, 0]) / s,
+             (m[1, 2] + m[2, 1]) / s, 0.25 * s]
+    q = np.asarray(q)
+    return q / np.linalg.norm(q)
 
 
 def _np_quat_to_mat(q):
@@ -482,8 +525,9 @@ class ModelBuilder:
         for jid in (joint1,) + (() if joint2 is None else (joint2,)):
             assert self.joints[jid]["type"] in (SLIDE, HINGE), \
                 "joint equality couples scalar (slide/hinge) joints only"
-        data = np.zeros(6)
+        data = np.zeros(11)
         data[:5] = np.asarray(polycoef, np.float64)[:5]
+        data[10] = 1.0      # MuJoCo stores the default torquescale
         self.equalities.append(dict(
             kind=EQ_JOINT, obj1=int(joint1),
             obj2=-1 if joint2 is None else int(joint2), data=data,
@@ -500,11 +544,41 @@ class ModelBuilder:
         ``anchor`` is in body1's local frame; the coincident body2-local
         point is computed at qpos0 by finalize() (the MuJoCo compiler
         rule).  body2 = 0 welds the point to the world."""
-        data = np.zeros(6)
+        data = np.zeros(11)
         data[:3] = np.asarray(anchor, np.float64)
-        data[3:] = np.nan                 # resolved at finalize
+        data[10] = 1.0      # MuJoCo stores the default torquescale
+        data[3:6] = np.nan                # resolved at finalize
         self.equalities.append(dict(
             kind=EQ_CONNECT, obj1=int(body1), obj2=int(body2), data=data,
+            solref=np.asarray(solref, np.float64),
+            solimp=np.asarray(solimp, np.float64),
+            active=float(bool(active))))
+        return len(self.equalities) - 1
+
+    def add_equality_weld(self, body1, body2, anchor=(0, 0, 0),
+                          relpose=None, torquescale=1.0,
+                          solref=(0.02, 1.0),
+                          solimp=(0.9, 0.95, 0.001, 0.5, 2.0),
+                          active=True):
+        """6-dof weld (MuJoCo <equality><weld>): body1's pose is locked
+        to body2's.  ``anchor`` is in body2's local frame (the MuJoCo
+        convention); ``relpose`` = (pos(3), quat(4)) of body1 relative
+        to body2, or None / all-zero quat to capture the relative pose
+        at qpos0 in finalize() (the compiler rule).  ``torquescale``
+        scales the 3 orientation rows against the 3 position rows."""
+        data = np.zeros(11)
+        data[:3] = np.asarray(anchor, np.float64)
+        if relpose is None:
+            data[3:10] = np.nan           # resolved at finalize
+        else:
+            rp = np.asarray(relpose, np.float64)
+            assert rp.shape == (7,), "relpose = (pos 3, quat 4)"
+            data[3:10] = rp
+            if not np.any(rp[3:]):        # all-zero quat sentinel
+                data[6:10] = np.nan
+        data[10] = float(torquescale)
+        self.equalities.append(dict(
+            kind=EQ_WELD, obj1=int(body1), obj2=int(body2), data=data,
             solref=np.asarray(solref, np.float64),
             solimp=np.asarray(solimp, np.float64),
             active=float(bool(active))))
@@ -791,7 +865,7 @@ class ModelBuilder:
             eq_obj1=tuple(e["obj1"] for e in self.equalities),
             eq_obj2=tuple(e["obj2"] for e in self.equalities),
             eq_data=arr([e["data"] for e in self.equalities]
-                        ).reshape(len(self.equalities), 6),
+                        ).reshape(len(self.equalities), 11),
             eq_solref=arr([e["solref"] for e in self.equalities]
                           ).reshape(len(self.equalities), 2),
             eq_solimp=arr([e["solimp"] for e in self.equalities]
@@ -832,7 +906,19 @@ class ModelBuilder:
                 if e["kind"] == EQ_CONNECT:
                     b1, b2 = e["obj1"], e["obj2"]
                     p1 = xpos[b1] + xmat[b1] @ eq_data[i, :3]
-                    eq_data[i, 3:] = xmat[b2].T @ (p1 - xpos[b2])
+                    eq_data[i, 3:6] = xmat[b2].T @ (p1 - xpos[b2])
+                elif e["kind"] == EQ_WELD:
+                    b1, b2 = e["obj1"], e["obj2"]
+                    if np.isnan(eq_data[i, 3:6]).any():
+                        # body1-local coords of body2's anchor at qpos0
+                        p2 = xpos[b2] + xmat[b2] @ eq_data[i, :3]
+                        eq_data[i, 3:6] = xmat[b1].T @ (p2 - xpos[b1])
+                    if np.isnan(eq_data[i, 6:10]).any():
+                        # relq s.t. vec(q2^-1 q1 relq) = 0 at qpos0
+                        q1 = _np_mat_to_quat(xmat[b1])
+                        q2 = _np_mat_to_quat(xmat[b2])
+                        relq = _np_quat_mul(_np_quat_conj(q1), q2)
+                        eq_data[i, 6:10] = relq / np.linalg.norm(relq)
         return model.replace(dof_invweight0=arr(dof_iw),
                              body_invweight0=arr(body_iw),
                              ten_invweight0=arr(ten_iw),

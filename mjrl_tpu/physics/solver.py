@@ -323,8 +323,9 @@ def n_constraint_rows(model: Model):
     limits + contact rows) — the shape of the warm-start impulse vector
     threaded through step_n.  Accounts for the contact_topk active-set
     cap per condim class."""
-    from mjrl_tpu.physics.model import EQ_CONNECT
-    n_eq = sum(3 if k == EQ_CONNECT else 1 for k in model.eq_kind)
+    from mjrl_tpu.physics.model import EQ_CONNECT, EQ_WELD
+    n_eq = sum({EQ_CONNECT: 3, EQ_WELD: 6}.get(k, 1)
+               for k in model.eq_kind)
     n_ball = sum(1 for t in model.jnt_type if t == BALL)
     g1_np, g2_np = contact_geom_ids(model)
     if len(g1_np):

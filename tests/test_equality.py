@@ -73,7 +73,7 @@ def test_equality_tables_match_mujoco():
     assert list(ours.eq_obj1) == list(mm.eq_obj1id)
     assert list(ours.eq_obj2) == list(mm.eq_obj2id)
     np.testing.assert_allclose(np.asarray(ours.eq_data),
-                               mm.eq_data[:, :6], atol=1e-10)
+                               mm.eq_data[:, :11], atol=1e-10)
 
 
 def test_equality_qacc_matches_mujoco_newton():
@@ -121,6 +121,62 @@ def test_connect_holds_loop_closed_under_integration():
         terms = dyn.equality_terms(ours, data, cdof, s.qpos)
         res_connect = np.asarray(terms[1][2])
         assert np.abs(res_connect).max() < tol[solver], (solver, res_connect)
+
+
+_WELD_XML = """
+<mujoco>
+  <compiler angle="radian" inertiafromgeom="true"/>
+  <option timestep="0.002" gravity="0 0 -9.81"/>
+  <worldbody>
+    <body name="A" pos="0 0 1">
+      <joint name="fa" type="free"/>
+      <geom type="box" size="0.1 0.08 0.06" contype="0" conaffinity="0"/>
+    </body>
+    <body name="B" pos="0.5 0 1">
+      <joint name="fb" type="free"/>
+      <geom type="box" size="0.1 0.08 0.06" contype="0" conaffinity="0"/>
+    </body>
+  </worldbody>
+  <equality>
+    <weld body1="A" body2="B" anchor="0.2 0 0" torquescale="0.7"/>
+  </equality>
+</mujoco>
+"""
+
+
+def test_weld_tables_match_mujoco():
+    mm = mujoco.MjModel.from_xml_string(_WELD_XML)
+    ours = load_mjcf(xml_string=_WELD_XML).finalize(jnp.float64)
+    np.testing.assert_allclose(np.asarray(ours.eq_data),
+                               mm.eq_data[:, :11], atol=1e-10)
+
+
+def test_weld_qacc_matches_mujoco_newton():
+    """6-dof weld (free-floating bodies): implicit-solver qacc tracks
+    MuJoCo, including the orientation rows' relpose composition."""
+    mm = mujoco.MjModel.from_xml_string(_WELD_XML)
+    md = mujoco.MjData(mm)
+    ours = load_mjcf(xml_string=_WELD_XML).finalize(jnp.float64,
+                                                   solver="newton")
+    acc = jax.jit(lambda q, v: qacc_smooth(
+        ours, State(qpos=q, qvel=v), jnp.zeros((0,), jnp.float64)))
+    rng = np.random.RandomState(17)
+    errs = []
+    for _ in range(16):
+        qpos = np.array(mm.qpos0)
+        qpos[:3] += rng.uniform(-0.1, 0.1, 3)
+        qpos[7:10] += rng.uniform(-0.1, 0.1, 3)
+        for qa in (3, 7 + 3):
+            qpos[qa:qa + 4] = rng.uniform(-0.3, 0.3, 4) + [1, 0, 0, 0]
+            qpos[qa:qa + 4] /= np.linalg.norm(qpos[qa:qa + 4])
+        qvel = rng.uniform(-0.8, 0.8, mm.nv)
+        md.qpos[:] = qpos
+        md.qvel[:] = qvel
+        mujoco.mj_forward(mm, md)
+        mine = np.asarray(acc(jnp.asarray(qpos), jnp.asarray(qvel)))
+        scale = max(np.abs(md.qacc).max(), 1.0)
+        errs.append(np.abs(mine - md.qacc).max() / scale)
+    assert np.median(errs) < 2e-2, (np.median(errs), sorted(errs))
 
 
 def test_single_joint_pin_matches_mujoco():
