@@ -148,7 +148,11 @@ def load_mjcf(path=None, xml_string=None):
         if opt_get("integrator", "Euler").lower() in ("euler",)
         else "rk4",
         viscosity=float(opt_get("viscosity", "0")),
-        density=float(opt_get("density", "0")))
+        density=float(opt_get("density", "0")),
+        settotalmass=(float(compiler.get("settotalmass"))
+                      if compiler is not None
+                      and compiler.get("settotalmass") is not None
+                      else None))
 
     defaults = _Defaults()
     for d in root.findall("default"):

@@ -381,10 +381,13 @@ class _Body:
 
 class ModelBuilder:
     def __init__(self, timestep=0.002, gravity=(0, 0, -9.81), integrator="euler",
-                 viscosity=0.0, density=0.0):
+                 viscosity=0.0, density=0.0, settotalmass=None):
         self.opt = dict(timestep=timestep, gravity=np.asarray(gravity, np.float64),
                         integrator=EULER if integrator.lower() == "euler" else RK4,
                         viscosity=viscosity, density=density)
+        # <compiler settotalmass="m"/>: rescale all body masses+inertias
+        # after compilation so they sum to m (mujoco mj_setTotalmass)
+        self.settotalmass = settotalmass
         # body 0 = world
         self.bodies = [_Body(parent=-1, pos=np.zeros(3),
                              quat=np.array([1.0, 0, 0, 0]))]
@@ -731,6 +734,11 @@ class ModelBuilder:
         for b in range(1, nbody):
             m, c, q, i = self._body_inertial(self.bodies[b])
             mass[b], ipos[b], iquat[b], inertia[b] = m, c, q, i
+        if self.settotalmass is not None and self.settotalmass > 0 \
+                and mass.sum() > 0:
+            scale = float(self.settotalmass) / mass.sum()
+            mass *= scale
+            inertia *= scale
 
         def arr(x):
             return jnp.asarray(np.asarray(x), dtype)

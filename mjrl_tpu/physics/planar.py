@@ -36,13 +36,18 @@ from mjrl_tpu.physics.model import EULER, HINGE, PGS, SLIDE, Model
 
 
 class PlanarParams(NamedTuple):
-    """Static host-side description of a planar chain (python floats /
-    numpy; baked into the trace as constants)."""
+    """Static host-side description of a planar tree (python floats /
+    numpy; baked into the trace as constants).
+
+    The plane is spanned by two world axes (ax1, ax2) with the hinge
+    axis ax1 x ax2; 2D components of a world vector v are
+    (v[ax1], v[ax2]).  Swimmer uses (x, y)/hinge +z; the gym locomotion
+    suite (hopper/walker/cheetah) uses (z, x)/hinge +y."""
     nv: int
     nbody: int                   # moving bodies (world excluded)
     offsets: Tuple               # (nbody, 2) parent->body frame offset
     mass: Tuple                  # (nbody,)
-    izz: Tuple                   # (nbody,) inertia about z through CoM
+    izz: Tuple                   # (nbody,) inertia about the hinge axis
     com: Tuple                   # (nbody, 2) CoM in body frame
     # fluid constants per body
     box: Tuple                   # (nbody, 3) equivalent-box semi-axes
@@ -63,52 +68,128 @@ class PlanarParams(NamedTuple):
     actuators: Tuple
     timestep: float
     body_dof: Tuple              # (nbody,) index of the body's hinge dof
+    # ---- tree / basis generalization (defaults = the swimmer chain) --
+    parent: Tuple = ()           # (nbody,) parent moving-body idx, -1=root
+    slide_dirs: Tuple = ((1.0, 0.0), (0.0, 1.0))   # 2D dirs of dof 0, 1
+    slide_ref: Tuple = (0.0, 0.0)                  # FK ref of dof 0, 1
+    hinge_sign: Tuple = ()       # (nbody,) +-1: hinge axis vs plane normal
+    jpos: Tuple = ()             # (nbody, 2) hinge anchor in body frame
+    stiffness: Tuple = ()        # (nv,) joint springs (0 = none)
+    spring_ref: Tuple = ()       # (nv,) spring reference
+    gravity2: Tuple = (0.0, 0.0)  # in-plane gravity
+    ax1: int = 0                 # world axis index of 2D component 1
+    ax2: int = 1                 # world axis index of 2D component 2
+    integrator: int = EULER
+    # ground/point contacts (plane-sphere + capsule end caps):
+    # (body, (lx, ly), radius, up (2,), h0, k, b, solimp(5,), mu, iw)
+    contacts_pt: Tuple = ()
+    # capsule-capsule pairs (2D closest point):
+    # (bA, pA0 (2,), pA1 (2,), rA, bB, pB0, pB1, rB, k, b, solimp, mu, iw)
+    contacts_cc: Tuple = ()
 
 
 def extract_planar(model: Model):
-    """PlanarParams if the model is a supported planar chain, else None.
+    """PlanarParams if the model is a supported planar tree, else None.
 
     Only implicit-solver (``solver="newton"``) models qualify: the fast
-    path implements MuJoCo's soft-constraint limit response (the exact
-    dual QP), not the penalty approximation."""
-    if model.integrator != EULER or model.solver != PGS:
+    path implements MuJoCo's soft-constraint limit/contact response
+    (the exact dual QP), not the penalty approximation.
+
+    Supported: a root body with two axis-aligned slides + one hinge
+    (any of the three coordinate planes; the gym locomotion suite's
+    (x, z)/hinge-y and the swimmer's (x, y)/hinge-z both qualify),
+    descendant bodies with one hinge each about +-the plane normal
+    (anchors may be off-origin), branching trees, in-plane gravity,
+    joint springs, Euler or RK4, and ground contacts (plane-sphere,
+    plane-capsule end caps, capsule-capsule)."""
+    from mjrl_tpu.physics.model import (CAPSULE, PLANE, RK4, SPHERE)
+    if model.solver != PGS or model.integrator not in (EULER, RK4):
         return None
     if model.nq != model.nv or model.nbody < 2 or model.ntendon \
             or model.neq:
         return None
-    g = np.asarray(model.gravity)
-    if abs(g[0]) > 0 or abs(g[1]) > 0:
-        return None
     jt = list(model.jnt_type)
     axes = np.asarray(model.jnt_axis)
-    jpos = np.asarray(model.jnt_pos)
-    # root: slide-x, slide-y, hinge-z at origin; children: one hinge-z
+    jpos3 = np.asarray(model.jnt_pos)
     if len(model.body_jnts[1]) != 3:
         return None
     j0, j1, j2 = model.body_jnts[1]
-    ok = (jt[j0] == SLIDE and np.allclose(axes[j0], [1, 0, 0])
-          and jt[j1] == SLIDE and np.allclose(axes[j1], [0, 1, 0])
-          and jt[j2] == HINGE and np.allclose(axes[j2], [0, 0, 1]))
-    if not ok:
+    if not (jt[j0] == SLIDE and jt[j1] == SLIDE and jt[j2] == HINGE):
         return None
+    sa0, sa1, ha = axes[j0], axes[j1], axes[j2]
+    eye = np.eye(3)
+    def axis_id(a):
+        for k in range(3):
+            if np.allclose(a, eye[k]):
+                return k
+        return None
+    i0, i1 = axis_id(sa0), axis_id(sa1)
+    ih = axis_id(ha)
+    if i0 is None or i1 is None or ih is None or ih in (i0, i1):
+        return None
+    if model.jnt_dofadr[j0] != 0 or model.jnt_dofadr[j1] != 1:
+        return None
+    # basis (e1, e2) with e1 x e2 = hinge axis
+    cross = np.cross(eye[i0], eye[i1])
+    if np.allclose(cross, eye[ih]):
+        ax1, ax2 = i0, i1
+        slide_dirs = ((1.0, 0.0), (0.0, 1.0))
+    elif np.allclose(-cross, eye[ih]):
+        ax1, ax2 = i1, i0
+        slide_dirs = ((0.0, 1.0), (1.0, 0.0))
+    else:
+        return None
+    e1, e2, h3 = eye[ax1], eye[ax2], eye[ih]
+    if np.linalg.norm(jpos3[j2]) > 1e-6:
+        return None
+
+    def to2d(v):
+        return (float(v[ax1]), float(v[ax2]))
+
     body_dof = [model.jnt_dofadr[j2]]
+    parent = [-1]
+    hinge_sign = [1.0]
+    jpos2 = [(0.0, 0.0)]
+    dof_ref = np.asarray(model.dof_ref)
     for b in range(2, model.nbody):
-        if model.body_parent[b] != b - 1:
+        pb = model.body_parent[b]
+        if pb < 1:
             return None
         if len(model.body_jnts[b]) != 1:
             return None
         j = model.body_jnts[b][0]
-        if jt[j] != HINGE or not np.allclose(axes[j], [0, 0, 1]) \
-                or np.linalg.norm(jpos[j]) > 1e-6:
+        if jt[j] != HINGE:
             return None
+        if np.allclose(axes[j], h3):
+            hinge_sign.append(1.0)
+        elif np.allclose(axes[j], -h3):
+            hinge_sign.append(-1.0)
+        else:
+            return None
+        if abs(float(jpos3[j] @ h3)) > 1e-6:
+            return None
+        if abs(float(dof_ref[model.jnt_dofadr[j]])) > 1e-9:
+            return None
+        jpos2.append(to2d(jpos3[j]))
         body_dof.append(model.jnt_dofadr[j])
+        parent.append(pb - 1)
     bp = np.asarray(model.body_pos)
+    bq = np.asarray(model.body_quat)
     ip = np.asarray(model.body_ipos)
-    if np.abs(bp[2:, 2]).max(initial=0.0) > 1e-6 \
-            or np.abs(ip[1:, 2]).max(initial=0.0) > 1e-6:
+    # child offsets/all CoMs in-plane, frames unrotated.  The ROOT's
+    # out-of-plane offset is a constant shift with no planar dynamics
+    # (swimmer's torso sits at z=0.03) — but it must be folded into
+    # plane-contact heights, so keep it.
+    root_oop = float(bp[1] @ h3)
+    if np.abs(bp[2:] @ h3).max(initial=0.0) > 1e-6 \
+            or np.abs(ip[1:] @ h3).max(initial=0.0) > 1e-6:
         return None
-    if np.linalg.norm(np.asarray(model.jnt_pos)[j2]) > 1e-6:
-        return None
+    for b in range(1, model.nbody):
+        if not np.allclose(bq[b], [1.0, 0, 0, 0], atol=1e-9):
+            return None
+
+    g3 = np.asarray(model.gravity)
+    gravity2 = to2d(g3)
 
     # inertial-frame constants (pure numpy: this runs lazily and may be
     # reached inside a jit trace, where any jnp op would stage a tracer)
@@ -120,26 +201,27 @@ def extract_planar(model: Model):
             [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
              2 * (y * z - w * x)],
             [2 * (x * z - w * y), 2 * (y * z + w * x),
-             1 - 2 * (x * x + y * y)]])
+             2 * (x * x + y * y) * -1 + 1]])
 
     iq = np.asarray(model.body_iquat)
     inertia = np.asarray(model.body_inertia)
     mass = np.asarray(model.body_mass)
-    r0s, izzs, boxes = [], [], []
+    r0s, ihh, boxes = [], [], []
     for b in range(1, model.nbody):
         r0 = np_quat_mat(np.asarray(iq[b], np.float64))
         iw = r0 @ np.diag(inertia[b]) @ r0.T
-        # rotation must keep z a principal-ish axis for Izz constancy
-        if abs(iw[0, 2]) + abs(iw[1, 2]) > 1e-6 * max(iw[2, 2], 1e-9):
+        # the hinge axis must be principal-ish for I_hh constancy
+        off = abs(iw[ax1, ih]) + abs(iw[ax2, ih])
+        if off > 1e-6 * max(iw[ih, ih], 1e-9):
             return None
-        izzs.append(float(iw[2, 2]))
+        ihh.append(float(iw[ih, ih]))
         r0s.append(r0)
-        i0, i1, i2 = inertia[b]
+        ia, ib, ic = inertia[b]
         m = max(float(mass[b]), 1e-12)
         boxes.append([
-            float(0.5 * np.sqrt(max(6.0 * (i1 + i2 - i0) / m, 1e-12))),
-            float(0.5 * np.sqrt(max(6.0 * (i0 + i2 - i1) / m, 1e-12))),
-            float(0.5 * np.sqrt(max(6.0 * (i0 + i1 - i2) / m, 1e-12)))])
+            float(0.5 * np.sqrt(max(6.0 * (ib + ic - ia) / m, 1e-12))),
+            float(0.5 * np.sqrt(max(6.0 * (ia + ic - ib) / m, 1e-12))),
+            float(0.5 * np.sqrt(max(6.0 * (ia + ib - ic) / m, 1e-12)))])
 
     h = float(model.timestep)
     solref = np.asarray(model.dof_solref)
@@ -162,14 +244,118 @@ def extract_planar(model: Model):
                      float(np.asarray(model.ctrlrange)[i, 1]),
                      float(np.asarray(model.ctrllimited)[i])))
 
+    # ---- contact candidates (static): supported pair types only ------
+    gtypes = list(model.geom_type)
+    gbody = list(model.geom_body)
+    gpos = np.asarray(model.geom_pos)
+    gquat = np.asarray(model.geom_quat)
+    gsize = np.asarray(model.geom_size)
+    gfric = np.asarray(model.geom_friction)
+    gsolref = np.asarray(model.geom_solref)
+    gsolimp = np.asarray(model.geom_solimp)
+    biw = np.asarray(model.body_invweight0)
+
+    def geom_axis_b(g):
+        return np_quat_mat(np.asarray(gquat[g], np.float64))[:, 2]
+
+    def cap_ends_2d(g):
+        """capsule endpoint centers in the body frame, 2D; None if the
+        axis leaves the plane."""
+        a = geom_axis_b(g)
+        if abs(float(a @ h3)) > 1e-6:
+            return None
+        half = float(gsize[g, 1])
+        p = gpos[g]
+        return [to2d(p - half * a), to2d(p + half * a)], float(gsize[g, 0])
+
+    def combine(ga, gb):
+        tcc = max(0.5 * float(gsolref[ga, 0] + gsolref[gb, 0]), 2.0 * h)
+        drc = 0.5 * float(gsolref[ga, 1] + gsolref[gb, 1])
+        si = tuple(0.5 * float(gsolimp[ga, k] + gsolimp[gb, k])
+                   for k in range(5))
+        dmaxc = si[1]
+        kc = 1.0 / max(dmaxc * dmaxc * tcc * tcc * drc * drc, 1e-12)
+        bc = 2.0 / max(dmaxc * tcc, 1e-12)
+        mu = max(float(gfric[ga, 0]), float(gfric[gb, 0]))
+        return kc, bc, si, mu
+
+    contacts_pt, contacts_cc = [], []
+    for (a, b) in model.contact_pairs:
+        ta, tb = gtypes[a], gtypes[b]
+        if tb == PLANE:
+            a, b = b, a
+            ta, tb = tb, ta
+        if ta == PLANE:
+            if gbody[a] != 0:
+                return None
+            n3 = np_quat_mat(np.asarray(gquat[a], np.float64))[:, 2]
+            if abs(float(n3 @ h3)) > 1e-6:
+                return None
+            up = to2d(n3)
+            h0 = float(gpos[a] @ n3)
+            bidx = gbody[b] - 1
+            if bidx < 0:
+                return None
+            kc, bc, si, mu = combine(a, b)
+            iw = float(biw[gbody[b], 0])
+            if tb == SPHERE:
+                contacts_pt.append((bidx, to2d(gpos[b]),
+                                    float(gsize[b, 0]), up, h0,
+                                    kc, bc, si, mu, iw))
+            elif tb == CAPSULE:
+                ends = cap_ends_2d(b)
+                if ends is None:
+                    return None
+                (p0, p1), r = ends
+                contacts_pt.append((bidx, p0, r, up, h0, kc, bc, si,
+                                    mu, iw))
+                contacts_pt.append((bidx, p1, r, up, h0, kc, bc, si,
+                                    mu, iw))
+            else:
+                return None
+        elif ta == CAPSULE and tb == CAPSULE:
+            ea = cap_ends_2d(a)
+            eb = cap_ends_2d(b)
+            if ea is None or eb is None:
+                return None
+            (pa0, pa1), ra = ea
+            (pb0, pb1), rb = eb
+            kc, bc, si, mu = combine(a, b)
+            iw = float(biw[gbody[a], 0] + biw[gbody[b], 0])
+            contacts_cc.append((gbody[a] - 1, pa0, pa1, ra,
+                                gbody[b] - 1, pb0, pb1, rb,
+                                kc, bc, si, mu, iw))
+        else:
+            return None
+
+    # capsule-capsule pairs without any ground plane (swimmer-class
+    # chains): keep the round-1 pure component path, which ignores the
+    # (practically unreachable) self-contacts — the cross-simulator
+    # learning validation gates this approximation (docs/BENCHMARKS.md)
+    if contacts_cc and not contacts_pt:
+        contacts_cc = []
+    # plane contacts require fully in-plane geometry (no constant
+    # out-of-plane root shift, contact geoms centered in the plane)
+    if contacts_pt:
+        if abs(root_oop) > 1e-6:
+            return None
+        for (a, b) in model.contact_pairs:
+            for g in (a, b):
+                if gbody[g] > 0 and abs(float(gpos[g] @ h3)) > 1e-6:
+                    return None
+
+    # fluid generalization beyond the xy-plane is untested; the only
+    # fluid model in the suite (swimmer) is xy
+    if (float(model.viscosity) or float(model.density)) \
+            and (ax1, ax2) != (0, 1):
+        return None
+
     return PlanarParams(
         nv=model.nv, nbody=model.nbody - 1,
-        offsets=tuple((float(bp[b][0]), float(bp[b][1]))
-                      for b in range(1, model.nbody)),
+        offsets=tuple(to2d(bp[b]) for b in range(1, model.nbody)),
         mass=tuple(float(m) for m in mass[1:]),
-        izz=tuple(izzs),
-        com=tuple((float(ip[b][0]), float(ip[b][1]))
-                  for b in range(1, model.nbody)),
+        izz=tuple(ihh),
+        com=tuple(to2d(ip[b]) for b in range(1, model.nbody)),
         box=tuple(tuple(bx) for bx in boxes),
         r0=tuple(tuple(tuple(float(x) for x in row) for row in r)
                  for r in r0s),
@@ -187,7 +373,21 @@ def extract_planar(model: Model):
                          for x in np.asarray(model.dof_invweight0)),
         actuators=tuple(acts),
         timestep=h,
-        body_dof=tuple(body_dof))
+        body_dof=tuple(body_dof),
+        parent=tuple(parent),
+        slide_dirs=slide_dirs,
+        slide_ref=(float(dof_ref[model.jnt_dofadr[j0]]),
+                   float(dof_ref[model.jnt_dofadr[j1]])),
+        hinge_sign=tuple(hinge_sign),
+        jpos=tuple(jpos2),
+        stiffness=tuple(float(x)
+                        for x in np.asarray(model.dof_stiffness)),
+        spring_ref=tuple(float(x) for x in dof_ref),
+        gravity2=gravity2,
+        ax1=int(ax1), ax2=int(ax2),
+        integrator=int(model.integrator),
+        contacts_pt=tuple(contacts_pt),
+        contacts_cc=tuple(contacts_cc))
 
 
 # ---------------------------------------------------------------------------
@@ -219,24 +419,49 @@ def _cross2(a, b):
     return a[0] * b[1] - a[1] * b[0]
 
 
+def _tree_tables(p: PlanarParams):
+    """(parent, hinge_sign, jpos) with chain-era defaults filled in."""
+    nb = p.nbody
+    par = p.parent if p.parent else tuple(range(-1, nb - 1))
+    hs = p.hinge_sign if p.hinge_sign else (1.0,) * nb
+    jp = p.jpos if p.jpos else ((0.0, 0.0),) * nb
+    return par, hs, jp
+
+
 def _planar_ctx(p: PlanarParams, q):
     """FK + per-dof motion axes.
 
     Returns (phi (nbody,), org (nbody, vec2), sdofs (nv, (omega, vec2)),
     coms (nbody, vec2 world CoM), chain mask (static)).
+
+    Trees with off-origin hinge anchors: a body's frame is
+    parent-offset, then rotation by sign*q about the anchor
+    (org = anchor - R(phi) jpos); the root's slides move along
+    ``slide_dirs`` with FK refs subtracted.
     """
     nb = p.nbody
+    par, hs, jp = _tree_tables(p)
+    d0, d1 = p.slide_dirs
+    q0 = q[0] - p.slide_ref[0]
+    q1 = q[1] - p.slide_ref[1]
     phi = [None] * nb
     org = [None] * nb
-    x, y = q[0], q[1]
-    phi[0] = q[2]
-    org[0] = (p.offsets[0][0] + x, p.offsets[0][1] + y)
+    anchors = [None] * nb
+    phi[0] = hs[0] * q[p.body_dof[0]]
+    org[0] = (p.offsets[0][0] + q0 * d0[0] + q1 * d1[0],
+              p.offsets[0][1] + q0 * d0[1] + q1 * d1[1])
+    anchors[0] = org[0]                     # root anchor at body origin
     for b in range(1, nb):
-        c, s = jnp.cos(phi[b - 1]), jnp.sin(phi[b - 1])
+        pb = par[b]
+        c, s = jnp.cos(phi[pb]), jnp.sin(phi[pb])
         ox, oy = p.offsets[b]
-        org[b] = (org[b - 1][0] + c * ox - s * oy,
-                  org[b - 1][1] + s * ox + c * oy)
-        phi[b] = phi[b - 1] + q[p.body_dof[b]]
+        jx, jy = jp[b]
+        ax = org[pb][0] + c * (ox + jx) - s * (oy + jy)
+        ay = org[pb][1] + s * (ox + jx) + c * (oy + jy)
+        phi[b] = phi[pb] + hs[b] * q[p.body_dof[b]]
+        cb, sb = jnp.cos(phi[b]), jnp.sin(phi[b])
+        org[b] = (ax - (cb * jx - sb * jy), ay - (sb * jx + cb * jy))
+        anchors[b] = (ax, ay)
 
     coms = []
     for b in range(nb):
@@ -245,21 +470,25 @@ def _planar_ctx(p: PlanarParams, q):
         coms.append((org[b][0] + c * cx - s * cy,
                      org[b][1] + s * cx + c * cy))
 
-    zero = jnp.zeros_like(x)
-    one = jnp.ones_like(x)
+    zero = jnp.zeros_like(q[0])
+    one = jnp.ones_like(q[0])
     sdofs = [None] * p.nv
-    sdofs[0] = (zero, (one, zero))
-    sdofs[1] = (zero, (zero, one))
+    sdofs[0] = (zero, (d0[0] * one, d0[1] * one))
+    sdofs[1] = (zero, (d1[0] * one, d1[1] * one))
     for b in range(nb):
-        a = org[b]
-        sdofs[p.body_dof[b]] = (one, (a[1], -a[0]))
+        a = anchors[b]
+        sg = hs[b]
+        sdofs[p.body_dof[b]] = (sg * one, (sg * a[1], -sg * a[0]))
 
     # chain[b][d] = 1 iff dof d drives body b (static)
     chain = [[0.0] * p.nv for _ in range(nb)]
     for b in range(nb):
         chain[b][0] = chain[b][1] = 1.0
-        for b2 in range(b + 1):
-            chain[b][p.body_dof[b2]] = 1.0
+        chain[b][p.body_dof[b]] = 1.0
+        a = par[b]
+        while a >= 0:
+            chain[b][p.body_dof[a]] = 1.0
+            a = par[a]
     return phi, org, sdofs, coms, chain
 
 
@@ -312,28 +541,32 @@ def _fluid(p, b, phi, com_w, vel_b):
     return n_z, f_w
 
 
-def planar_substep(p: PlanarParams, q, v, ctrl):
-    """One semi-implicit Euler physics step on component tuples
-    (q (nv,), v (nv,), ctrl (nu,)) -> (q', v')."""
+def _planar_smooth(p: PlanarParams, q, v, ctrl):
+    """Smooth dynamics shared by the Euler and contact/RK4 paths:
+    -> (m dict (upper triangle), qfrc list (constraint-free), ctx)."""
     nv = p.nv
-    phi, org, sdofs, coms, chain = _planar_ctx(p, q)
+    ctx = _planar_ctx(p, q)
+    phi, org, sdofs, coms, chain = ctx
+    par, _, _ = _tree_tables(p)
 
-    # body velocities (accumulate down the chain) + cdofdot
+    # body velocities (accumulate down the tree) + cdofdot
     vel = [None] * p.nbody
     sdot = [None] * nv
     zero = jnp.zeros_like(q[0])
     sdot[0] = sdot[1] = (zero, (zero, zero))
     # carrier velocity before the root hinge = the slide translations
-    w_c, u_c = zero, (v[0], v[1])
+    d0, d1 = p.slide_dirs
+    root_carrier = (zero, (v[0] * d0[0] + v[1] * d1[0],
+                           v[0] * d0[1] + v[1] * d1[1]))
     for b in range(p.nbody):
         d = p.body_dof[b]
+        w_c, u_c = root_carrier if par[b] < 0 else vel[par[b]]
         # cdofdot for hinge d: carrier velocity BEFORE this dof
         sd = sdofs[d]
         sdot[d] = (zero, (w_c * -sd[1][1] - sd[0] * -u_c[1],
                           w_c * sd[1][0] - sd[0] * u_c[0]))
-        w_c = w_c + sd[0] * v[d]
-        u_c = (u_c[0] + sd[1][0] * v[d], u_c[1] + sd[1][1] * v[d])
-        vel[b] = (w_c, u_c)
+        vel[b] = (w_c + sd[0] * v[d],
+                  (u_c[0] + sd[1][0] * v[d], u_c[1] + sd[1][1] * v[d]))
 
     # mass matrix (upper triangle) + armature
     iu = {}
@@ -352,6 +585,8 @@ def planar_substep(p: PlanarParams, q, v, ctrl):
             m[(d, e)] = acc + (p.armature[d] if d == e else 0.0)
 
     # bias: f_b = I avp + v x* (I v); avp_b = sum_d sdot_d qd (chain)
+    has_fluid = bool(p.viscosity or p.density)
+    has_gravity = p.gravity2 != (0.0, 0.0)
     bias = [0.0] * nv
     for b in range(p.nbody):
         aw, aux, auy = zero, zero, zero
@@ -366,19 +601,40 @@ def planar_substep(p: PlanarParams, q, v, ctrl):
         # force cross: (u x f, w * perp(f))
         n2 = _cross2(u_b, fh)
         f2 = (w_b * -fh[1], w_b * fh[0])
-        nf, ff = _fluid(p, b, phi[b], coms[b], vel[b])
-        n_tot = n1 + n2 - nf
-        f_tot = (f1[0] + f2[0] - ff[0], f1[1] + f2[1] - ff[1])
+        n_tot = n1 + n2
+        f_tot = (f1[0] + f2[0], f1[1] + f2[1])
+        if has_fluid:
+            nf, ff = _fluid(p, b, phi[b], coms[b], vel[b])
+            n_tot = n_tot - nf
+            f_tot = (f_tot[0] - ff[0], f_tot[1] - ff[1])
+        if has_gravity:
+            fg = (p.mass[b] * p.gravity2[0], p.mass[b] * p.gravity2[1])
+            n_tot = n_tot - _cross2(coms[b], fg)
+            f_tot = (f_tot[0] - fg[0], f_tot[1] - fg[1])
         for d in range(nv):
             if chain[b][d]:
                 bias[d] = bias[d] + sdofs[d][0] * n_tot \
                     + _dot2(sdofs[d][1], f_tot)
 
-    # applied forces: actuators + joint damping
+    # applied forces: actuators + joint damping + joint springs
     qfrc = [-p.damping[d] * v[d] - bias[d] for d in range(nv)]
+    if p.stiffness and any(p.stiffness):
+        for d in range(nv):
+            if p.stiffness[d]:
+                qfrc[d] = qfrc[d] - p.stiffness[d] * (q[d]
+                                                      - p.spring_ref[d])
     for i, (d, gear, lo, hi, lim) in enumerate(p.actuators):
         c = jnp.clip(ctrl[i], lo, hi) if lim else ctrl[i]
         qfrc[d] = qfrc[d] + gear * c
+    return m, qfrc, ctx
+
+
+def planar_substep(p: PlanarParams, q, v, ctrl):
+    """One semi-implicit Euler physics step on component tuples
+    (q (nv,), v (nv,), ctrl (nu,)) -> (q', v')."""
+    nv = p.nv
+    m, qfrc, ctx = _planar_smooth(p, q, v, ctrl)
+    phi, org, sdofs, coms, chain = ctx
 
     h = p.timestep
 
@@ -479,11 +735,220 @@ def planar_step_n(p: PlanarParams, q, v, ctrl, n: int):
 
 
 # ---------------------------------------------------------------------------
+# contact / RK4 path (stacked arrays; vmap-only — used by hopper/walker/
+# cheetah-class models with ground contacts; reuses solver.solve_qacc)
+# ---------------------------------------------------------------------------
+
+def _stack_m(m, nv):
+    return jnp.stack([jnp.stack([m[(min(d, e), max(d, e))]
+                                 + jnp.zeros(())
+                                 for e in range(nv)]) for d in range(nv)])
+
+
+def _seg_closest_2d(a0, a1, b0, b1):
+    """Closest points between 2D segments (collision._capsule_capsule
+    reduced to the plane) -> (c1 (2,), c2 (2,), dist)."""
+    d1 = (a1[0] - a0[0], a1[1] - a0[1])
+    d2 = (b1[0] - b0[0], b1[1] - b0[1])
+    r = (a0[0] - b0[0], a0[1] - b0[1])
+    a = _dot2(d1, d1) + 1e-12
+    e = _dot2(d2, d2) + 1e-12
+    f = _dot2(d2, r)
+    c = _dot2(d1, r)
+    b = _dot2(d1, d2)
+    denom = a * e - b * b
+    s = jnp.where(jnp.abs(denom) > 1e-12,
+                  jnp.clip((b * f - c * e)
+                           / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0),
+                           0.0, 1.0),
+                  0.0)
+    t = jnp.clip((b * s + f) / e, 0.0, 1.0)
+    s = jnp.clip((b * t - c) / a, 0.0, 1.0)
+    c1 = (a0[0] + d1[0] * s, a0[1] + d1[1] * s)
+    c2 = (b0[0] + d2[0] * t, b0[1] + d2[1] * t)
+    d = (c2[0] - c1[0], c2[1] - c1[1])
+    dist = jnp.sqrt(_dot2(d, d) + 1e-18)
+    return c1, c2, dist
+
+
+def _constraint_rows_planar(p: PlanarParams, ctx, q, v):
+    """Stacked constraint rows for the contact path -> (J (C, nv),
+    aref_pos (C,), b_row (C,), active (C,), R (C,)).
+
+    Mirrors solver.constraint_rows exactly for the planar case: one
+    signed row per scalar dof limit, then 4 pyramidal facet rows per
+    contact (the out-of-plane tangent pair degenerates to two duplicate
+    normal rows, kept for parity with the 3D path's regularization)."""
+    phi, org, sdofs, coms, chain = ctx
+    nv = p.nv
+    zero = jnp.zeros_like(q[0])
+    one = jnp.ones_like(q[0])
+    rows, arefs, brows, actives, regs = [], [], [], [], []
+
+    # scalar-dof limits (signed identity rows)
+    for d in range(nv):
+        below = jnp.maximum(p.lo[d] - q[d], 0.0)
+        above = jnp.maximum(q[d] - p.hi[d], 0.0)
+        use_lower = below >= above
+        sg = jnp.where(use_lower, 1.0, -1.0)
+        dist = jnp.where(use_lower, q[d] - p.lo[d], p.hi[d] - q[d])
+        act = p.limited[d] * ((below > 0) | (above > 0)).astype(q[d].dtype)
+        imp = _impedance_scalar(p.solimp[d], jnp.maximum(-dist, 0.0))
+        jrow = [sg * one if e == d else zero for e in range(nv)]
+        rows.append(jrow)
+        arefs.append(-p.limit_k[d] * imp * dist)
+        brows.append(p.limit_b[d] * one)
+        actives.append(act)
+        regs.append(jnp.maximum((1.0 - imp) / imp * p.invweight0[d],
+                                1e-12))
+
+    def point_vel_rows(b, pc, direction):
+        """J over dofs: chain-masked velocity of material point pc on
+        body b along ``direction``."""
+        out = []
+        for d in range(nv):
+            if chain[b][d]:
+                w_d, u_d = sdofs[d]
+                vp = (u_d[0] - w_d * pc[1], u_d[1] + w_d * pc[0])
+                out.append(_dot2(vp, direction))
+            else:
+                out.append(zero)
+        return out
+
+    def add_contact(jn, jt, depth, kc, bc, si, mu, iw):
+        imp = _impedance_scalar(si, jnp.maximum(depth, 0.0))
+        act = (depth > 0).astype(q[0].dtype)
+        aref = kc * imp * depth
+        brow = bc * one
+        reg = jnp.maximum((1.0 - imp) / imp
+                          * (iw * 2.0 * mu * mu * (1.0 + mu * mu)), 1e-12)
+        for jrow in (jn, jn,
+                     [jn[d] + mu * jt[d] for d in range(nv)],
+                     [jn[d] - mu * jt[d] for d in range(nv)]):
+            rows.append(jrow)
+            arefs.append(aref)
+            brows.append(brow)
+            actives.append(act)
+            regs.append(reg)
+
+    for (b, (lx, ly), r, up, h0, kc, bc, si, mu, iw) in p.contacts_pt:
+        c, s = jnp.cos(phi[b]), jnp.sin(phi[b])
+        px = org[b][0] + c * lx - s * ly
+        py = org[b][1] + s * lx + c * ly
+        d_up = up[0] * px + up[1] * py - h0     # center above plane
+        depth = r - d_up
+        # contact point midway between the surfaces (MuJoCo convention)
+        pc = (px - up[0] * 0.5 * (d_up + r), py - up[1] * 0.5 * (d_up + r))
+        tng = _perp(up)
+        jn = point_vel_rows(b, pc, up)
+        jt = point_vel_rows(b, pc, tng)
+        add_contact(jn, jt, depth, kc, bc, si, mu, iw)
+
+    for (bA, pA0, pA1, rA, bB, pB0, pB1, rB,
+         kc, bc, si, mu, iw) in p.contacts_cc:
+        def world(bb, pt):
+            c, s = jnp.cos(phi[bb]), jnp.sin(phi[bb])
+            return (org[bb][0] + c * pt[0] - s * pt[1],
+                    org[bb][1] + s * pt[0] + c * pt[1])
+        c1, c2, dist = _seg_closest_2d(world(bA, pA0), world(bA, pA1),
+                                       world(bB, pB0), world(bB, pB1))
+        n2 = ((c2[0] - c1[0]) / dist, (c2[1] - c1[1]) / dist)
+        depth = (rA + rB) - dist
+        pc = (0.5 * (c1[0] + n2[0] * rA + c2[0] - n2[0] * rB),
+              0.5 * (c1[1] + n2[1] * rA + c2[1] - n2[1] * rB))
+        tng = _perp(n2)
+        jnB = point_vel_rows(bB, pc, n2)
+        jnA = point_vel_rows(bA, pc, n2)
+        jn = [jnB[d] - jnA[d] for d in range(nv)]
+        jtB = point_vel_rows(bB, pc, tng)
+        jtA = point_vel_rows(bA, pc, tng)
+        jt = [jtB[d] - jtA[d] for d in range(nv)]
+        add_contact(jn, jt, depth, kc, bc, si, mu, iw)
+
+    J = jnp.stack([jnp.stack(rw) for rw in rows])
+    return (J, jnp.stack(arefs), jnp.stack(brows), jnp.stack(actives),
+            jnp.stack(regs))
+
+
+def n_planar_rows(p: PlanarParams):
+    return p.nv + 4 * (len(p.contacts_pt) + len(p.contacts_cc))
+
+
+def _contact_qacc(p: PlanarParams, qpos, qvel, ctrl, lam0, sweeps):
+    """Constrained qacc for the stacked path -> (qacc, a0, lam, M,
+    qfrc)."""
+    from mjrl_tpu.ops.linalg import chol_solve_unrolled
+    from mjrl_tpu.physics.solver import solve_qacc
+    nv = p.nv
+    q = [qpos[d] for d in range(nv)]
+    v = [qvel[d] for d in range(nv)]
+    u = [ctrl[i] for i in range(len(p.actuators))]
+    m, qfrc, ctx = _planar_smooth(p, q, v, u)
+    M = _stack_m(m, nv)
+    qf = jnp.stack(qfrc)
+    a0 = chol_solve_unrolled(M, qf)
+    J, aref_pos, brow, active, reg = _constraint_rows_planar(p, ctx, q, v)
+    aref = aref_pos - brow * (J @ qvel)
+    qacc, lam = solve_qacc(M, a0, J, aref, active, reg, lam0,
+                           sweeps=sweeps)
+    return qacc, a0, lam, M, qf
+
+
+def planar_contact_step_n(p: PlanarParams, qpos, qvel, ctrl, n: int):
+    """frame_skip control step for contact/RK4 planar models on
+    (nv,)/(nu,) arrays.  Implicit-solver semantics matching step.py:
+    Euler integrates smooth + constraint force with M + h diag(B);
+    RK4 uses the constrained qacc directly; impulses warm-start across
+    substeps and stages (cold solve first, SWEEPS_WARM after)."""
+    from mjrl_tpu.ops.linalg import chol_solve_unrolled
+    from mjrl_tpu.physics.solver import SWEEPS, SWEEPS_WARM
+    h = p.timestep
+    nv = p.nv
+    damp = jnp.asarray(p.damping, qpos.dtype)
+    lam = jnp.zeros((n_planar_rows(p),), qpos.dtype)
+    sweeps = SWEEPS
+    if p.integrator == EULER:
+        for _ in range(n):
+            qacc_c, a0, lam, M, qf = _contact_qacc(p, qpos, qvel, ctrl,
+                                                   lam, sweeps)
+            sweeps = SWEEPS_WARM
+            qfrc_con = M @ (qacc_c - a0)
+            qacc = chol_solve_unrolled(M + h * jnp.diag(damp),
+                                       qf + qfrc_con)
+            qvel = qvel + h * qacc
+            qpos = qpos + h * qvel
+        return qpos, qvel
+    # RK4 (matching step.py _rk4_step's stage structure)
+    for _ in range(n):
+        k1v, _, lam, _, _ = _contact_qacc(p, qpos, qvel, ctrl, lam,
+                                          sweeps)
+        sweeps = SWEEPS_WARM
+        k1p = qvel
+        s2q, s2v = qpos + 0.5 * h * k1p, qvel + 0.5 * h * k1v
+        k2v, _, lam, _, _ = _contact_qacc(p, s2q, s2v, ctrl, lam, sweeps)
+        k2p = s2v
+        s3q, s3v = qpos + 0.5 * h * k2p, qvel + 0.5 * h * k2v
+        k3v, _, lam, _, _ = _contact_qacc(p, s3q, s3v, ctrl, lam, sweeps)
+        k3p = s3v
+        s4q, s4v = qpos + h * k3p, qvel + h * k3v
+        k4v, _, lam, _, _ = _contact_qacc(p, s4q, s4v, ctrl, lam, sweeps)
+        k4p = s4v
+        qpos = qpos + h * (k1p + 2 * k2p + 2 * k3p + k4p) / 6.0
+        qvel = qvel + h * (k1v + 2 * k2v + 2 * k3v + k4v) / 6.0
+    return qpos, qvel
+
+
+# ---------------------------------------------------------------------------
 # array-facing wrappers (vmap over envs; (..., nv) arrays)
 # ---------------------------------------------------------------------------
 
 def step_n_arrays(p: PlanarParams, qpos, qvel, ctrl, n: int):
-    """(nv,), (nv,), (nu,) arrays -> stepped arrays (vmap-friendly)."""
+    """(nv,), (nv,), (nu,) arrays -> stepped arrays (vmap-friendly).
+    Contact-bearing or RK4 models take the stacked dual path; smooth
+    Euler chains (swimmer) keep the pure component path (shared with
+    the Pallas whole-substep kernel)."""
+    if p.contacts_pt or p.contacts_cc or p.integrator != EULER:
+        return planar_contact_step_n(p, qpos, qvel, ctrl, n)
     q = [qpos[d] for d in range(p.nv)]
     v = [qvel[d] for d in range(p.nv)]
     u = [ctrl[i] for i in range(len(p.actuators))]

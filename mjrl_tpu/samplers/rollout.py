@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mjrl_tpu.physics.model import EULER
+
 
 def _never_terminates(env):
     """True when the env uses the base no-termination _done (the Pallas
@@ -62,8 +64,11 @@ def rollout_batch(env, policy, params, transforms, key, num_traj,
     # whole-substep path (3x measured over vmap: 38M vs 13M swimmer
     # control-steps/s on one chip) — same output schema, noise drawn per
     # (step, batch) instead of per-trajectory key chains
+    planar = getattr(env, "_planar", None)
     if (mesh is None and not autoreset
-            and getattr(env, "_planar", None) is not None
+            and planar is not None
+            and not planar.contacts_pt and not planar.contacts_cc
+            and planar.integrator == EULER
             and num_traj % 1024 == 0
             and jax.default_backend() not in ("cpu",)
             and _never_terminates(env)):

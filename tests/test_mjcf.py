@@ -122,6 +122,32 @@ def test_parsed_model_steps():
     assert np.all(np.isfinite(np.asarray(out.qpos)))
 
 
+def test_gymnasium_locomotion_tables_match_mujoco():
+    """Mass/inertia tables for the full gymnasium locomotion suite vs
+    the live MuJoCo compiler (catches compiler directives like
+    half_cheetah's settotalmass that per-geom math alone misses)."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    mujoco = pytest.importorskip("mujoco")
+    gymnasium = pytest.importorskip("gymnasium")
+    gp = os.path.join(os.path.dirname(gymnasium.__file__),
+                      "envs/mujoco/assets")
+    for name in ("hopper", "walker2d", "half_cheetah", "swimmer",
+                 "ant", "inverted_pendulum"):
+        path = os.path.join(gp, f"{name}.xml")
+        m = load_mjcf(path).finalize(jnp.float64)
+        mm = mujoco.MjModel.from_xml_path(path)
+        assert (m.nq, m.nv, m.nu) == (mm.nq, mm.nv, mm.nu), name
+        np.testing.assert_allclose(np.asarray(m.body_mass), mm.body_mass,
+                                   rtol=1e-9, atol=1e-12, err_msg=name)
+        np.testing.assert_allclose(np.asarray(m.body_inertia),
+                                   mm.body_inertia, rtol=1e-7,
+                                   atol=1e-12, err_msg=name)
+        np.testing.assert_allclose(np.asarray(m.body_ipos), mm.body_ipos,
+                                   atol=1e-9, err_msg=name)
+
+
 def test_gymnasium_reacher_pusher_tables_match_mujoco():
     """Bring-your-own-MJCF breadth gate: gymnasium's Reacher and Pusher
     (slide+hinge arms, cylinders, motors) parse and match the MuJoCo
