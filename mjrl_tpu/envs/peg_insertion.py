@@ -29,7 +29,12 @@ class PegEnv(MujocoLikeEnv):
         self._peg_sid = builder.names["site"]["peg_bottom"]
         self._moved_bodies = tuple(builder.names["body"][n]
                                    for n in ("target", "w4", "w3"))
-        self.model = builder.finalize(dtype, solver=solver)
+        # per-control-step row freeze: peg contacts are quasi-static
+        # (zero gravity, guided insertion) and its 474-pair row assembly
+        # dominates a dynamics eval — the amortization is what makes the
+        # implicit solver faster than penalty here (docs/BENCHMARKS.md)
+        self.model = builder.finalize(dtype, solver=solver,
+                                      row_freeze_step=True)
         self._init_body_pos = self.model.body_pos
         self.dtype = dtype
 

@@ -98,6 +98,16 @@ class Model(struct.PyTreeNode):
     # system size, which dominates contact-rich models (peg: 474
     # candidates, <~20 ever simultaneously active).
     contact_topk: int = struct.field(pytree_node=False, default=0)
+    # RK4 constraint-row freeze granularity: rows (contact geometry,
+    # impedance, active set) are always frozen across the 4 stages of
+    # one substep; with row_freeze_step=True they are additionally
+    # frozen across the WHOLE frame_skip control step.  Per-substep
+    # (default) matches MuJoCo's per-forward row rebuild — freezing an
+    # impact-depth aref across a 0.05 s control step injects energy
+    # (ant touchdown bounced to 2x its drop height).  Per-step is an
+    # opt-in amortization for quasi-static contact models (peg: zero
+    # gravity, guided insertion, 474-pair assembly dominates).
+    row_freeze_step: bool = struct.field(pytree_node=False, default=False)
 
     # ---- numeric fields (jnp leaves) ----
     body_pos: Any = None          # (nbody, 3) frame offset in parent frame
@@ -714,11 +724,13 @@ class ModelBuilder:
                     b.geoms = [remap[g] for g in b.geoms]
 
     def finalize(self, dtype=jnp.float32, solver="penalty",
-                 contact_topk=None):
+                 contact_topk=None, row_freeze_step=False):
         """``contact_topk``: implicit-solver active-set cap (see Model);
         None = auto (cap at 64 when a model has more expanded contact
         candidates than that — bounds the dual system on contact-rich
-        models like peg insertion without touching small ones)."""
+        models like peg insertion without touching small ones).
+        ``row_freeze_step``: freeze RK4 constraint rows across the whole
+        control step instead of per substep (see Model.row_freeze_step)."""
         self._sort_by_body()
         nbody = len(self.bodies)
         njnt = len(self.joints)
@@ -932,4 +944,5 @@ class ModelBuilder:
                              ten_invweight0=arr(ten_iw),
                              eq_data=(arr(eq_data) if eq_data is not None
                                       else model.eq_data),
-                             contact_topk=int(contact_topk))
+                             contact_topk=int(contact_topk),
+                             row_freeze_step=bool(row_freeze_step))

@@ -200,14 +200,17 @@ def step_n(model: Model, state: State, ctrl, n: int):
         # substep 0: cold solve (full iteration budget); remaining
         # substeps warm-start from the previous impulses with a smaller
         # budget — the contact configuration barely moves within a
-        # control step.  For RK4 models the constraint-row context is
-        # additionally frozen across the WHOLE control step (built once
-        # at the first stage): peg insertion's row assembly is ~80% of a
-        # dynamics eval, and its contact set moves far slower than the
-        # 0.04 s control interval.
+        # control step.  RK4 rows are frozen across the 4 stages of one
+        # substep and rebuilt per substep (matching MuJoCo's per-forward
+        # rebuild: an impact-depth aref frozen across the whole control
+        # step injects energy — ant touchdown bounced 2x).  Models with
+        # row_freeze_step=True (quasi-static contacts, e.g. peg: row
+        # assembly is ~80% of a dynamics eval over 474 pairs) freeze the
+        # substep-0 rows across the WHOLE control step.
         state, warm, rows = step_warm(model, state, ctrl, None, None)
 
-        if rows is None:        # Euler: rows rebuilt per substep
+        if rows is None or not model.row_freeze_step:
+            # rows rebuilt per substep (Euler always; RK4 default)
             def body(carry, _):
                 s, w = carry
                 s2, w2, _ = step_warm(model, s, ctrl, w,

@@ -177,3 +177,28 @@ def test_contact_topk_matches_full_active_set():
         topk = np.asarray(acc_k(q, v, u))
         scale = max(np.abs(full).max(), 1.0)
         assert np.abs(full - topk).max() / scale < 5e-3, i
+
+
+def test_ant_settle_reaches_mujoco_fixed_point():
+    """Zero-ctrl ant dropped from qpos0 settles to MuJoCo's exact
+    rest state (z = 0.3825, ankles pinned at the 30-degree limit
+    +-0.5236 — verified against MuJoCo 3.10 run to |qvel| = 0).
+    Regression gate for RK4 row-freeze granularity: freezing contact
+    rows across the whole control step injected energy at touchdown
+    (bounce to z ~ 2.0) and this equilibrium was never reached."""
+    from mjrl_tpu.envs.gym_suite import AntEnv
+    env = AntEnv(dtype=jnp.float64, solver="newton")
+    model = env.model
+    ctrl = jnp.zeros(model.nu, jnp.float64)
+    stepper = jax.jit(lambda s: step_n(model, s, ctrl, env.frame_skip))
+    s = State(qpos=jnp.asarray(np.asarray(model.qpos0)),
+              qvel=jnp.zeros((model.nv,), jnp.float64))
+    zmax = 0.0
+    for _ in range(300):
+        s = stepper(s)
+        zmax = max(zmax, float(s.qpos[2]))
+    assert zmax < 1.0, zmax            # no touchdown bounce
+    assert abs(float(s.qpos[2]) - 0.3825) < 0.01, float(s.qpos[2])
+    ankles = np.asarray(s.qpos)[[8, 10, 12, 14]]
+    np.testing.assert_allclose(np.abs(ankles), 0.5236, atol=0.01)
+    assert float(jnp.abs(s.qvel).max()) < 0.01
