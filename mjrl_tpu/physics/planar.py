@@ -785,8 +785,12 @@ def _constraint_rows_planar(p: PlanarParams, ctx, q, v):
     one = jnp.ones_like(q[0])
     rows, arefs, brows, actives, regs = [], [], [], [], []
 
-    # scalar-dof limits (signed identity rows)
+    # scalar-dof limits (signed identity rows); unlimited dofs are
+    # statically dropped (their rows would be permanently inactive —
+    # e.g. the 3 root dofs on every locomotion model)
     for d in range(nv):
+        if not p.limited[d]:
+            continue
         below = jnp.maximum(p.lo[d] - q[d], 0.0)
         above = jnp.maximum(q[d] - p.hi[d], 0.0)
         use_lower = below >= above
@@ -871,7 +875,8 @@ def _constraint_rows_planar(p: PlanarParams, ctx, q, v):
 
 
 def n_planar_rows(p: PlanarParams):
-    return p.nv + 4 * (len(p.contacts_pt) + len(p.contacts_cc))
+    n_lim = sum(1 for d in range(p.nv) if p.limited[d])
+    return n_lim + 4 * (len(p.contacts_pt) + len(p.contacts_cc))
 
 
 def _contact_qacc(p: PlanarParams, qpos, qvel, ctrl, lam0, sweeps):
