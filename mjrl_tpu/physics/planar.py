@@ -30,6 +30,7 @@ motors) stepped by MuJoCo's mj_step through mjrl/envs/mujoco_env.py:
 from typing import NamedTuple, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from mjrl_tpu.physics.model import EULER, HINGE, PGS, SLIDE, Model
@@ -739,9 +740,12 @@ def planar_step_n(p: PlanarParams, q, v, ctrl, n: int):
 # cheetah-class models with ground contacts; reuses solver.solve_qacc)
 # ---------------------------------------------------------------------------
 
-def _stack_m(m, nv):
-    return jnp.stack([jnp.stack([m[(min(d, e), max(d, e))]
-                                 + jnp.zeros(())
+def _stack_m(m, nv, dtype):
+    # entries can be python floats (structurally constant slots); cast
+    # explicitly — under the x64 test config a bare python float (or
+    # jnp.zeros(())) stacks as f64 and silently promotes the whole M
+    return jnp.stack([jnp.stack([jnp.asarray(m[(min(d, e), max(d, e))],
+                                             dtype)
                                  for e in range(nv)]) for d in range(nv)])
 
 
@@ -771,9 +775,11 @@ def _seg_closest_2d(a0, a1, b0, b1):
     return c1, c2, dist
 
 
-def _constraint_rows_planar(p: PlanarParams, ctx, q, v):
-    """Stacked constraint rows for the contact path -> (J (C, nv),
-    aref_pos (C,), b_row (C,), active (C,), R (C,)).
+def _constraint_rows_comp(p: PlanarParams, ctx, q, v):
+    """Component-form constraint rows for the contact path ->
+    (rows [C][nv scalars], aref_pos [C], b_row [C], active [C], R [C],
+    zero) — ``zero`` is the literal zero-tile object used for off-chain
+    Jacobian entries, so dot products can skip them at trace time.
 
     Mirrors solver.constraint_rows exactly for the planar case: one
     signed row per scalar dof limit, then 4 pyramidal facet rows per
@@ -869,6 +875,14 @@ def _constraint_rows_planar(p: PlanarParams, ctx, q, v):
         jt = [jtB[d] - jtA[d] for d in range(nv)]
         add_contact(jn, jt, depth, kc, bc, si, mu, iw)
 
+    return rows, arefs, brows, actives, regs, zero
+
+
+def _constraint_rows_planar(p: PlanarParams, ctx, q, v):
+    """Stacked-array view of _constraint_rows_comp -> (J (C, nv),
+    aref_pos (C,), b_row (C,), active (C,), R (C,))."""
+    rows, arefs, brows, actives, regs, _ = \
+        _constraint_rows_comp(p, ctx, q, v)
     J = jnp.stack([jnp.stack(rw) for rw in rows])
     return (J, jnp.stack(arefs), jnp.stack(brows), jnp.stack(actives),
             jnp.stack(regs))
@@ -877,6 +891,207 @@ def _constraint_rows_planar(p: PlanarParams, ctx, q, v):
 def n_planar_rows(p: PlanarParams):
     n_lim = sum(1 for d in range(p.nv) if p.limited[d])
     return n_lim + 4 * (len(p.contacts_pt) + len(p.contacts_cc))
+
+
+# ---------------------------------------------------------------------------
+# component-form constrained solve (shape-agnostic: runs under vmap on
+# (B,) scalars AND inside the Pallas kernel on (8, 128) tiles)
+# ---------------------------------------------------------------------------
+
+def _row_dot(row, vec, zero):
+    """dot(row, vec) skipping literal-zero Jacobian entries."""
+    s = None
+    for d in range(len(vec)):
+        if row[d] is zero:
+            continue
+        t = row[d] * vec[d]
+        s = t if s is None else s + t
+    return zero if s is None else s
+
+
+def _chol_factor_comp(m, nv):
+    """Unrolled Cholesky of the upper-triangle dict from _planar_smooth
+    -> low[i][j] scalars (same pivot floor as ops.linalg)."""
+    low = [[None] * nv for _ in range(nv)]
+    for i in range(nv):
+        for jj in range(i + 1):
+            s = m[(jj, i)] if (jj, i) in m else m[(i, jj)]
+            for k in range(jj):
+                s = s - low[i][k] * low[jj][k]
+            if i == jj:
+                floor = 1e-10 * jnp.abs(m[(i, i)]) + 1e-30
+                low[i][jj] = jnp.sqrt(jnp.maximum(s, floor))
+            else:
+                low[i][jj] = s / low[jj][jj]
+    return low
+
+
+def _chol_solve_comp(low, b):
+    n = len(b)
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - low[i][k] * y[k]
+        y[i] = s / low[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - low[k][i] * x[k]
+        x[i] = s / low[i][i]
+    return x
+
+
+def _m_matvec_comp(m, x, nv):
+    out = []
+    for d in range(nv):
+        s = None
+        for e in range(nv):
+            key = (min(d, e), max(d, e))
+            if key not in m:
+                continue
+            t = m[key] * x[e]
+            s = t if s is None else s + t
+        out.append(s)
+    return out
+
+
+def _solve_qacc_comp(low, a0, rows, aref, active, reg, lam0, sweeps,
+                     zero):
+    """Component mirror of solver.solve_qacc (diag-preconditioned APGD
+    on the regularized dual, power-iteration Lipschitz, adaptive
+    restart).  Loops run as lax.fori_loop with tuple-of-scalar carries,
+    which lowers both under vmap and inside Pallas kernels."""
+    from mjrl_tpu.physics.solver import POWER_ITERS
+    C = len(rows)
+    nv = len(a0)
+    minv_jt = [_chol_solve_comp(low, rows[r]) for r in range(C)]
+    diag = [_row_dot(rows[r], minv_jt[r], zero) for r in range(C)]
+    ds = [jnp.sqrt(jnp.maximum(diag[r] + reg[r], 1e-12))
+          for r in range(C)]
+
+    def op(v):
+        u = [v[r] / ds[r] for r in range(C)]
+        w = []
+        for d in range(nv):
+            s = None
+            for r in range(C):
+                t = minv_jt[r][d] * u[r]
+                s = t if s is None else s + t
+            w.append(s)
+        return [(_row_dot(rows[r], w, zero) + reg[r] * u[r]) / ds[r]
+                for r in range(C)]
+
+    nrm = jnp.maximum(jnp.sqrt(sum(a * a for a in active) + 0.0), 1e-12)
+    v0 = tuple(active[r] / nrm for r in range(C))
+
+    def power_body(_, carry):
+        v, _ = carry
+        w = op(list(v))
+        n2 = jnp.maximum(jnp.sqrt(sum(x * x for x in w)), 1e-12)
+        return tuple(x / n2 for x in w), n2
+
+    _, lmax = jax.lax.fori_loop(0, POWER_ITERS, power_body,
+                                (v0, jnp.ones_like(nrm)))
+    el = jnp.maximum(1.1 * lmax, 1e-8)
+
+    rhs = [(aref[r] - _row_dot(rows[r], a0, zero)) / ds[r]
+           for r in range(C)]
+    mu0 = tuple(lam0[r] * active[r] * ds[r] for r in range(C))
+
+    def apgd_body(_, carry):
+        mu, y, t = carry
+        g = op(list(y))
+        mu_new = tuple(jnp.maximum(y[r] - (g[r] - rhs[r]) / el, 0.0)
+                       * active[r] for r in range(C))
+        restart = sum((y[r] - mu_new[r]) * (mu_new[r] - mu[r])
+                      for r in range(C)) > 0
+        t = jnp.where(restart, 1.0, t)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        mom = jnp.where(restart, 0.0, (t - 1.0) / t_new)
+        y = tuple(mu_new[r] + mom * (mu_new[r] - mu[r])
+                  for r in range(C))
+        return mu_new, y, t_new
+
+    one_t = jnp.ones_like(nrm)
+    mu, _, _ = jax.lax.fori_loop(0, sweeps, apgd_body, (mu0, mu0, one_t))
+    lam = [mu[r] / ds[r] for r in range(C)]
+    qacc = []
+    for d in range(nv):
+        s = a0[d]
+        for r in range(C):
+            s = s + minv_jt[r][d] * lam[r]
+        qacc.append(s)
+    return qacc, lam
+
+
+def _contact_qacc_comp(p: PlanarParams, q, v, u, lam0, sweeps):
+    """Component constrained qacc -> (qacc, a0, lam, m, qfrc)."""
+    nv = p.nv
+    m, qfrc, ctx = _planar_smooth(p, q, v, u)
+    low = _chol_factor_comp(m, nv)
+    a0 = _chol_solve_comp(low, qfrc)
+    rows, aref_pos, brows, actives, regs, zero = \
+        _constraint_rows_comp(p, ctx, q, v)
+    aref = [aref_pos[r] - brows[r] * _row_dot(rows[r], v, zero)
+            for r in range(len(rows))]
+    qacc, lam = _solve_qacc_comp(low, a0, rows, aref, actives, regs,
+                                 lam0, sweeps, zero)
+    return qacc, a0, lam, m, qfrc
+
+
+def planar_contact_step_n_comp(p: PlanarParams, q, v, u, n: int):
+    """Component-form frame_skip control step for contact/RK4 planar
+    models (lists of scalars in/out; semantics identical to
+    planar_contact_step_n)."""
+    from mjrl_tpu.physics.solver import SWEEPS, SWEEPS_WARM
+    h = p.timestep
+    nv = p.nv
+    C = n_planar_rows(p)
+    zero = jnp.zeros_like(q[0])
+    lam = [zero] * C
+    sweeps = SWEEPS
+    if p.integrator == EULER:
+        for _ in range(n):
+            qacc_c, a0, lam, m, qfrc = _contact_qacc_comp(p, q, v, u,
+                                                          lam, sweeps)
+            sweeps = SWEEPS_WARM
+            dqa = [qacc_c[d] - a0[d] for d in range(nv)]
+            qfrc_con = _m_matvec_comp(m, dqa, nv)
+            md = dict(m)
+            for d in range(nv):
+                md[(d, d)] = md[(d, d)] + h * p.damping[d]
+            low2 = _chol_factor_comp(md, nv)
+            qacc = _chol_solve_comp(
+                low2, [qfrc[d] + qfrc_con[d] for d in range(nv)])
+            v = [v[d] + h * qacc[d] for d in range(nv)]
+            q = [q[d] + h * v[d] for d in range(nv)]
+        return q, v
+    for _ in range(n):
+        k1v, _, lam, _, _ = _contact_qacc_comp(p, q, v, u, lam, sweeps)
+        sweeps = SWEEPS_WARM
+        k1p = v
+        s2q = [q[d] + 0.5 * h * k1p[d] for d in range(nv)]
+        s2v = [v[d] + 0.5 * h * k1v[d] for d in range(nv)]
+        k2v, _, lam, _, _ = _contact_qacc_comp(p, s2q, s2v, u, lam,
+                                               sweeps)
+        k2p = s2v
+        s3q = [q[d] + 0.5 * h * k2p[d] for d in range(nv)]
+        s3v = [v[d] + 0.5 * h * k2v[d] for d in range(nv)]
+        k3v, _, lam, _, _ = _contact_qacc_comp(p, s3q, s3v, u, lam,
+                                               sweeps)
+        k3p = s3v
+        s4q = [q[d] + h * k3p[d] for d in range(nv)]
+        s4v = [v[d] + h * k3v[d] for d in range(nv)]
+        k4v, _, lam, _, _ = _contact_qacc_comp(p, s4q, s4v, u, lam,
+                                               sweeps)
+        k4p = s4v
+        q = [q[d] + h * (k1p[d] + 2 * k2p[d] + 2 * k3p[d] + k4p[d]) / 6.0
+             for d in range(nv)]
+        v = [v[d] + h * (k1v[d] + 2 * k2v[d] + 2 * k3v[d] + k4v[d]) / 6.0
+             for d in range(nv)]
+    return q, v
 
 
 def _contact_qacc(p: PlanarParams, qpos, qvel, ctrl, lam0, sweeps):
@@ -889,7 +1104,7 @@ def _contact_qacc(p: PlanarParams, qpos, qvel, ctrl, lam0, sweeps):
     v = [qvel[d] for d in range(nv)]
     u = [ctrl[i] for i in range(len(p.actuators))]
     m, qfrc, ctx = _planar_smooth(p, q, v, u)
-    M = _stack_m(m, nv)
+    M = _stack_m(m, nv, qpos.dtype)
     qf = jnp.stack(qfrc)
     a0 = chol_solve_unrolled(M, qf)
     J, aref_pos, brow, active, reg = _constraint_rows_planar(p, ctx, q, v)

@@ -142,11 +142,19 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
     active_l = model.dof_limited * ((below > 0) | (above > 0))
     k_l, b_l = _kb(model.dof_solref, model.dof_solimp, h)
     imp_l = impedance(model.dof_solimp, jnp.maximum(-dist, 0.0))
-    rows.append(sign[:, None] * jnp.eye(nv, dtype=dtype))
-    arefs.append(-k_l * imp_l * dist)
-    brows.append(b_l)
-    actives.append(active_l.astype(dtype))
-    regs.append((1.0 - imp_l) / imp_l * model.dof_invweight0)
+    # statically drop never-limited dofs (e.g. the root dofs of every
+    # locomotion model): their rows are permanently inactive, and while
+    # they cannot change the dual's SOLUTION they inflate its Lipschitz
+    # estimate and hence the finite-sweep trajectory (the planar fast
+    # path drops them too — both solvers must agree at finite sweeps)
+    lim_idx = np.nonzero(np.asarray(model.dof_limited) > 0)[0]
+    if lim_idx.size:
+        li = jnp.asarray(lim_idx, jnp.int32)
+        rows.append((sign[:, None] * jnp.eye(nv, dtype=dtype))[li])
+        arefs.append((-k_l * imp_l * dist)[li])
+        brows.append(b_l[li])
+        actives.append(active_l.astype(dtype)[li])
+        regs.append(((1.0 - imp_l) / imp_l * model.dof_invweight0)[li])
 
     # ---- ball-joint rotation-angle limits ------------------------------
     for bj, da, axis, bpos in _ball_rows(model, qpos):
@@ -302,6 +310,9 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
                     actives.append(t_active)
                     regs.append(r_f)
 
+    if not rows:          # a model with no limits/contacts/equalities
+        z = jnp.zeros((0,), dtype)
+        return (jnp.zeros((0, nv), dtype), z, z, z, z, z)
     j_all = jnp.concatenate(rows)
     # impulse lower bounds: equality rows (the static prefix) are
     # bilateral, every other row is a unilateral force >= 0
@@ -339,7 +350,8 @@ def n_constraint_rows(model: Model):
         n_con = n_1 + 4 * n_3
     else:
         n_con = 0
-    return n_eq + model.nv + n_ball + model.ntendon + n_con
+    n_lim = int((np.asarray(model.dof_limited) > 0).sum())
+    return n_eq + n_lim + n_ball + model.ntendon + n_con
 
 
 def solve_qacc(m, a0, j, aref, active, r, lam0, sweeps=SWEEPS, lo=None):

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+
 from mjrl_tpu.physics.model import EULER
 
 
@@ -60,10 +62,16 @@ def rollout_batch(env, policy, params, transforms, key, num_traj,
     """
     T = env.horizon if horizon is None else min(int(horizon), env.horizon)
 
-    # planar envs at kernel-friendly batch sizes take the Pallas
+    # smooth planar envs at kernel-friendly batch sizes take the Pallas
     # whole-substep path (3x measured over vmap: 38M vs 13M swimmer
     # control-steps/s on one chip) — same output schema, noise drawn per
-    # (step, batch) instead of per-trajectory key chains
+    # (step, batch) instead of per-trajectory key chains.  Contact/RK4
+    # planar models deliberately stay on the vmapped stacked path: the
+    # Pallas contact kernel (ops/pallas_planar.py, fully validated)
+    # measured NO-GO for throughput — 1.52M vs 1.61M hopper
+    # control-steps/s at 4096 envs — because the warm-started APGD dual
+    # is matvec-dominated and the stacked path's dot_generals use the
+    # MXU while in-kernel unrolled component math cannot.
     planar = getattr(env, "_planar", None)
     if (mesh is None and not autoreset
             and planar is not None
