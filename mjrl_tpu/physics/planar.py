@@ -1126,35 +1126,57 @@ def planar_contact_step_n(p: PlanarParams, qpos, qvel, ctrl, n: int):
     nv = p.nv
     damp = jnp.asarray(p.damping, qpos.dtype)
     lam = jnp.zeros((n_planar_rows(p),), qpos.dtype)
-    sweeps = SWEEPS
+
     if p.integrator == EULER:
-        for _ in range(n):
+        def euler_sub(qpos, qvel, lam, sweeps):
             qacc_c, a0, lam, M, qf = _contact_qacc(p, qpos, qvel, ctrl,
                                                    lam, sweeps)
-            sweeps = SWEEPS_WARM
             qfrc_con = M @ (qacc_c - a0)
             qacc = chol_solve_unrolled(M + h * jnp.diag(damp),
                                        qf + qfrc_con)
             qvel = qvel + h * qacc
-            qpos = qpos + h * qvel
+            return qpos + h * qvel, qvel, lam
+
+        qpos, qvel, lam = euler_sub(qpos, qvel, lam, SWEEPS)
+        if n > 1:
+            # remaining warm substeps as ONE scanned body — compile-time
+            # program diet: the traced step is 2 substep bodies
+            # (cold + warm) instead of n
+            def body(carry, _):
+                q2, v2, l2 = euler_sub(*carry, SWEEPS_WARM)
+                return (q2, v2, l2), ()
+            (qpos, qvel, lam), _ = jax.lax.scan(
+                body, (qpos, qvel, lam), None, length=n - 1)
         return qpos, qvel
+
     # RK4 (matching step.py _rk4_step's stage structure)
-    for _ in range(n):
+    def rk4_sub(qpos, qvel, lam, sweeps1):
         k1v, _, lam, _, _ = _contact_qacc(p, qpos, qvel, ctrl, lam,
-                                          sweeps)
-        sweeps = SWEEPS_WARM
+                                          sweeps1)
         k1p = qvel
         s2q, s2v = qpos + 0.5 * h * k1p, qvel + 0.5 * h * k1v
-        k2v, _, lam, _, _ = _contact_qacc(p, s2q, s2v, ctrl, lam, sweeps)
+        k2v, _, lam, _, _ = _contact_qacc(p, s2q, s2v, ctrl, lam,
+                                          SWEEPS_WARM)
         k2p = s2v
         s3q, s3v = qpos + 0.5 * h * k2p, qvel + 0.5 * h * k2v
-        k3v, _, lam, _, _ = _contact_qacc(p, s3q, s3v, ctrl, lam, sweeps)
+        k3v, _, lam, _, _ = _contact_qacc(p, s3q, s3v, ctrl, lam,
+                                          SWEEPS_WARM)
         k3p = s3v
         s4q, s4v = qpos + h * k3p, qvel + h * k3v
-        k4v, _, lam, _, _ = _contact_qacc(p, s4q, s4v, ctrl, lam, sweeps)
+        k4v, _, lam, _, _ = _contact_qacc(p, s4q, s4v, ctrl, lam,
+                                          SWEEPS_WARM)
         k4p = s4v
         qpos = qpos + h * (k1p + 2 * k2p + 2 * k3p + k4p) / 6.0
         qvel = qvel + h * (k1v + 2 * k2v + 2 * k3v + k4v) / 6.0
+        return qpos, qvel, lam
+
+    qpos, qvel, lam = rk4_sub(qpos, qvel, lam, SWEEPS)
+    if n > 1:
+        def body(carry, _):
+            q2, v2, l2 = rk4_sub(*carry, SWEEPS_WARM)
+            return (q2, v2, l2), ()
+        (qpos, qvel, lam), _ = jax.lax.scan(
+            body, (qpos, qvel, lam), None, length=n - 1)
     return qpos, qvel
 
 
