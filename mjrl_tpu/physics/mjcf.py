@@ -149,6 +149,7 @@ def load_mjcf(path=None, xml_string=None):
         else "rk4",
         viscosity=float(opt_get("viscosity", "0")),
         density=float(opt_get("density", "0")),
+        cone=opt_get("cone", "pyramidal"),
         settotalmass=(float(compiler.get("settotalmass"))
                       if compiler is not None
                       and compiler.get("settotalmass") is not None

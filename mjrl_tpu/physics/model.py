@@ -56,6 +56,10 @@ RK4 = 1
 PENALTY = 0   # explicit penalties (default; fast, approximate)
 PGS = 1       # implicit dual with projected Jacobi (physics/solver.py)
 
+# friction-cone types (MuJoCo mjtCone)
+PYRAMIDAL = 0  # 4 facet rows per condim-3 contact (MuJoCo default)
+ELLIPTIC = 1   # 3 rows [n, t1, t2] + second-order-cone dual projection
+
 # equality constraint kinds (MuJoCo mjtEq values)
 EQ_CONNECT = 0   # 3-dof ball joint between body points
 EQ_WELD = 1      # 6-dof pose weld between two bodies
@@ -108,6 +112,12 @@ class Model(struct.PyTreeNode):
     # opt-in amortization for quasi-static contact models (peg: zero
     # gravity, guided insertion, 474-pair assembly dominates).
     row_freeze_step: bool = struct.field(pytree_node=False, default=False)
+    # friction-cone type for the implicit solver's contact rows
+    # (<option cone="pyramidal|elliptic">): PYRAMIDAL emits 4 facet
+    # rows per condim-3 contact; ELLIPTIC emits 3 rows [n, t1, t2] and
+    # the dual solve projects each contact triple onto the
+    # second-order cone mu*lam_n >= |lam_t| (solver.py solve_qacc).
+    cone: int = struct.field(pytree_node=False, default=0)
 
     # ---- numeric fields (jnp leaves) ----
     body_pos: Any = None          # (nbody, 3) frame offset in parent frame
@@ -391,10 +401,13 @@ class _Body:
 
 class ModelBuilder:
     def __init__(self, timestep=0.002, gravity=(0, 0, -9.81), integrator="euler",
-                 viscosity=0.0, density=0.0, settotalmass=None):
+                 viscosity=0.0, density=0.0, settotalmass=None,
+                 cone="pyramidal"):
         self.opt = dict(timestep=timestep, gravity=np.asarray(gravity, np.float64),
                         integrator=EULER if integrator.lower() == "euler" else RK4,
-                        viscosity=viscosity, density=density)
+                        viscosity=viscosity, density=density,
+                        cone=ELLIPTIC if str(cone).lower() == "elliptic"
+                        else PYRAMIDAL)
         # <compiler settotalmass="m"/>: rescale all body masses+inertias
         # after compilation so they sum to m (mujoco mj_setTotalmass)
         self.settotalmass = settotalmass
@@ -831,6 +844,7 @@ class ModelBuilder:
             actuator_joint=tuple(a["joint"] for a in self.actuators),
             integrator=self.opt["integrator"],
             solver=_solver_id(solver),
+            cone=self.opt.get("cone", PYRAMIDAL),
             contact_pairs=self._contact_pairs(),
             body_pos=arr([b.pos for b in self.bodies]),
             body_quat=arr([b.quat for b in self.bodies]),

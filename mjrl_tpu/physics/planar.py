@@ -106,6 +106,8 @@ def extract_planar(model: Model):
     from mjrl_tpu.physics.model import (CAPSULE, PLANE, RK4, SPHERE)
     if model.solver != PGS or model.integrator not in (EULER, RK4):
         return None
+    if getattr(model, "cone", 0) != 0:
+        return None      # elliptic cone: general engine only
     if model.nq != model.nv or model.nbody < 2 or model.ntendon \
             or model.neq:
         return None

@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from mjrl_tpu.physics.collision import contact_geom_ids, find_contacts
 from mjrl_tpu.physics.dynamics import (ancestor_mask, ball_limit_terms,
                                        equality_terms)
-from mjrl_tpu.physics.model import BALL, Model
+from mjrl_tpu.physics.model import BALL, ELLIPTIC, Model
 from mjrl_tpu.ops.linalg import chol_solve_unrolled
 
 SWEEPS = 50      # APGD iterations for a cold (zero-impulse) solve
@@ -97,7 +97,9 @@ def _impedance_components(si, violation):
 
 def constraint_rows(model: Model, data, cdof, qpos, qvel):
     """Assemble the static constraint rows -> (J (C, nv), aref_pos (C,),
-    b_row (C,), active (C,), R (C,), lo (C,)).
+    b_row (C,), active (C,), R (C,), lo (C,), soc_mu (K,)) — soc_mu is
+    the per-contact friction of the elliptic cone triples (empty on
+    pyramidal models).
 
     The velocity part of MuJoCo's reference acceleration is kept
     SEPARATE: aref(v) = aref_pos - b_row * (J v), so a frozen row
@@ -301,26 +303,53 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
             j_t2 = jac(tuple(take(t) for t in t2), pts, cfc)
             t_k, t_b, t_pos = take(k_c), take(b_c), take(pos_m)
             t_active = take(active_c)
-            for j_t in (j_t1, j_t2):
-                for sign_f in (1.0, -1.0):
-                    j_f = j_n + sign_f * mue[:, None] * j_t
-                    rows.append(j_f)
-                    arefs.append(-t_k * t_imp * t_pos)
+            if model.cone == ELLIPTIC:
+                # 3 rows per contact [n, t1, t2] sharing the normal
+                # row's impedance/regularizer (MuJoCo elliptic with
+                # impratio 1: efc_R identical across the triple, tangent
+                # aref has no position term — pinned vs mjData.efc_*
+                # probes with <option cone="elliptic">); the dual solve
+                # projects each triple onto mu*lam_n >= |lam_t|
+                r_e = jnp.maximum((1.0 - t_imp) / t_imp * take(iw),
+                                  1e-12)
+                aref_n = -t_k * t_imp * t_pos
+                zero_k = jnp.zeros_like(aref_n)
+                for j_r, a_r in ((j_n, aref_n), (j_t1, zero_k),
+                                 (j_t2, zero_k)):
+                    rows.append(j_r)
+                    arefs.append(a_r)
                     brows.append(t_b)
                     actives.append(t_active)
-                    regs.append(r_f)
+                    regs.append(r_e)
+            else:
+                for j_t in (j_t1, j_t2):
+                    for sign_f in (1.0, -1.0):
+                        j_f = j_n + sign_f * mue[:, None] * j_t
+                        rows.append(j_f)
+                        arefs.append(-t_k * t_imp * t_pos)
+                        brows.append(t_b)
+                        actives.append(t_active)
+                        regs.append(r_f)
 
     if not rows:          # a model with no limits/contacts/equalities
         z = jnp.zeros((0,), dtype)
-        return (jnp.zeros((0, nv), dtype), z, z, z, z, z)
+        return (jnp.zeros((0, nv), dtype), z, z, z, z, z, z)
     j_all = jnp.concatenate(rows)
     # impulse lower bounds: equality rows (the static prefix) are
-    # bilateral, every other row is a unilateral force >= 0
+    # bilateral, every other row is a unilateral force >= 0 — except
+    # elliptic contact triples, whose componentwise clamp must pass
+    # everything through to the cone projection (a triple with a
+    # negative normal iterate can still project to a nonzero impulse)
     lo = jnp.concatenate([jnp.full((n_eq_rows,), -jnp.inf, dtype),
                           jnp.zeros((j_all.shape[0] - n_eq_rows,), dtype)])
+    soc_mu = jnp.zeros((0,), dtype)
+    if model.cone == ELLIPTIC and C and len(idx_f):
+        st, K = _soc_layout(model)
+        lo = lo.at[st:st + 3 * K].set(-jnp.inf)
+        soc_mu = mue
     return (j_all, jnp.concatenate(arefs),
             jnp.concatenate(brows), jnp.concatenate(actives),
-            jnp.concatenate(regs), lo)
+            jnp.concatenate(regs), lo, soc_mu)
 
 
 def _ball_rows(model: Model, qpos):
@@ -329,32 +358,54 @@ def _ball_rows(model: Model, qpos):
             for bj, da, axis, bpos, _, _ in ball_limit_terms(model, qpos)]
 
 
-def n_constraint_rows(model: Model):
-    """Static total row count (equality + limits + ball limits + tendon
-    limits + contact rows) — the shape of the warm-start impulse vector
-    threaded through step_n.  Accounts for the contact_topk active-set
-    cap per condim class."""
+def _contact_counts(model: Model):
+    """Static (n_frictionless, n_friction) contact row-group sizes
+    after the contact_topk cap."""
+    g1_np, g2_np = contact_geom_ids(model)
+    if not len(g1_np):
+        return 0, 0
+    condim_np = np.array(model.geom_condim, np.int32)
+    pair_condim = np.maximum(condim_np[g1_np], condim_np[g2_np])
+    n_1 = int((pair_condim == 1).sum())
+    n_3 = int((pair_condim >= 3).sum())
+    if model.contact_topk:
+        n_1 = min(n_1, model.contact_topk)
+        n_3 = min(n_3, model.contact_topk)
+    return n_1, n_3
+
+
+def _soc_layout(model: Model):
+    """Static (start, K) of the elliptic contact triple block [n(K),
+    t1(K), t2(K)] within the assembled rows (same layout arithmetic as
+    n_constraint_rows)."""
     from mjrl_tpu.physics.model import EQ_CONNECT, EQ_WELD
     n_eq = sum({EQ_CONNECT: 3, EQ_WELD: 6}.get(k, 1)
                for k in model.eq_kind)
     n_ball = sum(1 for t in model.jnt_type if t == BALL)
-    g1_np, g2_np = contact_geom_ids(model)
-    if len(g1_np):
-        condim_np = np.array(model.geom_condim, np.int32)
-        pair_condim = np.maximum(condim_np[g1_np], condim_np[g2_np])
-        n_1 = int((pair_condim == 1).sum())
-        n_3 = int((pair_condim >= 3).sum())
-        if model.contact_topk:
-            n_1 = min(n_1, model.contact_topk)
-            n_3 = min(n_3, model.contact_topk)
-        n_con = n_1 + 4 * n_3
-    else:
-        n_con = 0
+    n_lim = int((np.asarray(model.dof_limited) > 0).sum())
+    n_1, n_3 = _contact_counts(model)
+    return n_eq + n_lim + n_ball + model.ntendon + n_1, n_3
+
+
+def n_constraint_rows(model: Model):
+    """Static total row count (equality + limits + ball limits + tendon
+    limits + contact rows) — the shape of the warm-start impulse vector
+    threaded through step_n.  Accounts for the contact_topk active-set
+    cap per condim class and the cone type (4 pyramidal facet rows vs
+    3 elliptic rows per friction contact)."""
+    from mjrl_tpu.physics.model import EQ_CONNECT, EQ_WELD
+    n_eq = sum({EQ_CONNECT: 3, EQ_WELD: 6}.get(k, 1)
+               for k in model.eq_kind)
+    n_ball = sum(1 for t in model.jnt_type if t == BALL)
+    n_1, n_3 = _contact_counts(model)
+    per_f = 3 if model.cone == ELLIPTIC else 4
+    n_con = n_1 + per_f * n_3
     n_lim = int((np.asarray(model.dof_limited) > 0).sum())
     return n_eq + n_lim + n_ball + model.ntendon + n_con
 
 
-def solve_qacc(m, a0, j, aref, active, r, lam0, sweeps=SWEEPS, lo=None):
+def solve_qacc(m, a0, j, aref, active, r, lam0, sweeps=SWEEPS, lo=None,
+               soc=None):
     """Diagonally-preconditioned APGD solve of the regularized DUAL
     -> (qacc, lam).
 
@@ -379,6 +430,22 @@ def solve_qacc(m, a0, j, aref, active, r, lam0, sweeps=SWEEPS, lo=None):
     minv_jt = jax.vmap(lambda row: chol_solve_unrolled(m, row))(j)  # (C,nv)
     diag = jnp.sum(j * minv_jt, axis=-1)
     ds = jnp.sqrt(jnp.maximum(diag + r, 1e-12))
+    if soc is not None:
+        # elliptic contact triples [n(K), t1(K), t2(K)] starting at st:
+        # the normal row keeps its own ds and the tangent PAIR gets one
+        # shared scale (their geometric mean), so the cone stays
+        # circular in the preconditioned space with a modified opening
+        # mu' = mu * d_t / d_n — closed-form SOC projection still
+        # applies, and the 2-scales-per-triple preconditioning keeps
+        # APGD convergence near the pyramidal path's (one uniform scale
+        # per triple needed ~10x the sweeps on walker2d's 6-contact
+        # states)
+        st, K, mu_g = soc
+        ds_n = ds[st:st + K]
+        ds_t = jnp.sqrt(ds[st + K:st + 2 * K] * ds[st + 2 * K:st + 3 * K])
+        ds = jnp.concatenate([ds[:st + K], ds_t, ds_t,
+                              ds[st + 3 * K:]])
+        mu_g = mu_g * ds_t / ds_n
 
     def op(v):     # preconditioned operator D^-1/2 (A + R) D^-1/2
         u = v / ds
@@ -399,13 +466,35 @@ def solve_qacc(m, a0, j, aref, active, r, lam0, sweeps=SWEEPS, lo=None):
     rhs = (aref - j @ a0) / ds
     mu0 = lam0 * active * ds
     # impulse lower bound in the scaled space (0 = unilateral force>=0,
-    # -inf = bilateral equality row)
+    # -inf = bilateral equality row / elliptic contact triple)
     mu_lo = jnp.zeros_like(ds) if lo is None else lo * ds
+
+    def project(z):
+        """Feasible-set projection: componentwise clamp, then the SOC
+        projection for elliptic contact triples (which their -inf lo
+        passed through untouched)."""
+        z = jnp.maximum(z, mu_lo)
+        if soc is not None:
+            n_i = z[st:st + K]
+            t1_i = z[st + K:st + 2 * K]
+            t2_i = z[st + 2 * K:st + 3 * K]
+            s = jnp.sqrt(t1_i * t1_i + t2_i * t2_i)
+            inside = s <= mu_g * n_i
+            below = mu_g * s <= -n_i
+            c = (mu_g * s + n_i) / (1.0 + mu_g * mu_g)
+            n_p = jnp.where(inside, n_i, jnp.where(below, 0.0, c))
+            tsc = jnp.where(inside, 1.0,
+                            jnp.where(below, 0.0,
+                                      mu_g * c / jnp.maximum(s, 1e-30)))
+            z = z.at[st:st + K].set(n_p)
+            z = z.at[st + K:st + 2 * K].set(t1_i * tsc)
+            z = z.at[st + 2 * K:st + 3 * K].set(t2_i * tsc)
+        return z * active
 
     def apgd(carry, _):
         mu, y, t = carry
         g = op(y) - rhs
-        mu_new = jnp.maximum(y - g / el, mu_lo) * active
+        mu_new = project(y - g / el)
         # adaptive restart (gradient test): kill momentum when the
         # momentum direction opposes descent
         restart = jnp.sum((y - mu_new) * (mu_new - mu)) > 0
@@ -431,7 +520,7 @@ def constrained_qacc(model: Model, data, cdof, qpos, qvel, m,
     zeros (cold).  ``sweeps`` (static) overrides the APGD iteration
     count; None = the cold-start default.
 
-    ``ctx`` (the returned 5-tuple of constraint_rows) reuses a FROZEN
+    ``ctx`` (the returned 7-tuple of constraint_rows) reuses a FROZEN
     row context: J / positions / impedances / regularizers from an
     earlier evaluation, with only the velocity part of aref recomputed
     — the row-assembly amortization for RK4 models whose 16 dynamics
@@ -439,12 +528,23 @@ def constrained_qacc(model: Model, data, cdof, qpos, qvel, m,
     a0 = chol_solve_unrolled(m, qfrc_minus_bias)
     if ctx is None:
         ctx = constraint_rows(model, data, cdof, qpos, qvel)
-    j, aref_pos, b_row, active, r, lo = ctx
+    j, aref_pos, b_row, active, r, lo, soc_mu = ctx
     lam0 = jnp.zeros(j.shape[:1], a0.dtype) if warm is None else warm
     if j.shape[0] == 0:
         return a0, a0, lam0, ctx
+    # elliptic cone: static block layout + the per-contact mu data ride
+    # the frozen ctx (soc_mu has zero length on pyramidal models)
+    soc = None
+    sw = SWEEPS if sweeps is None else sweeps
+    if model.cone == ELLIPTIC and soc_mu.shape[0]:
+        st, K = _soc_layout(model)
+        soc = (st, K, soc_mu)
+        # the cone-coupled dual converges ~4x slower than the pyramidal
+        # facet LCP (measured: walker2d 6-deep-contact states need 200
+        # sweeps for <3e-4 vs MuJoCo; 50 suffice for pyramidal) — the
+        # slowdown matches MuJoCo's own pyramidal-vs-elliptic guidance
+        sw = 4 * sw
     aref = aref_pos - b_row * (j @ qvel)
     qacc, lam = solve_qacc(m, a0, j, aref, active, r, lam0,
-                           sweeps=SWEEPS if sweeps is None else sweeps,
-                           lo=lo)
+                           sweeps=sw, lo=lo, soc=soc)
     return qacc, a0, lam, ctx

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--seed", type=int, default=123)
     ap.add_argument("--init_log_std", type=float, default=-0.25)
     ap.add_argument("--hidden", type=int, nargs="+", default=[64, 64])
+    ap.add_argument("--save", default=None,
+                    help="pickle the trained policy here (for "
+                         "benchmarks/parity/cross_eval.py)")
     args = ap.parse_args()
 
     kw = {"solver": args.solver} if args.solver else {}
@@ -73,6 +76,11 @@ def main():
         "iters": args.iters,
         "elapsed_s": round(time.time() - t0, 1),
     }), flush=True)
+    if args.save:
+        import pickle
+        with open(args.save, "wb") as f:
+            pickle.dump(policy, f)
+        print(json.dumps({"saved_policy": args.save}), flush=True)
 
 
 if __name__ == "__main__":
