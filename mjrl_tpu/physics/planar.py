@@ -27,6 +27,7 @@ motors) stepped by MuJoCo's mj_step through mjrl/envs/mujoco_env.py:
 120-126.
 """
 
+from functools import partial
 from typing import NamedTuple, Tuple
 
 import numpy as np
@@ -1116,6 +1117,17 @@ def _contact_qacc(p: PlanarParams, qpos, qvel, ctrl, lam0, sweeps):
     return qacc, a0, lam, M, qf
 
 
+@partial(jax.jit, static_argnums=(0, 5))
+def _contact_qacc_jit(p, qpos, qvel, ctrl, lam0, sweeps):
+    """jit-wrapped _contact_qacc: every call site with matching shapes
+    and the same static (p, sweeps) lowers to ONE shared HLO
+    computation instead of re-emitting the ~600k-char dual-solve body —
+    compile-time program diet for the control-step trace (PlanarParams
+    is a hashable NamedTuple of python scalars, so it rides the jit
+    cache key)."""
+    return _contact_qacc(p, qpos, qvel, ctrl, lam0, sweeps)
+
+
 def planar_contact_step_n(p: PlanarParams, qpos, qvel, ctrl, n: int):
     """frame_skip control step for contact/RK4 planar models on
     (nv,)/(nu,) arrays.  Implicit-solver semantics matching step.py:
@@ -1131,8 +1143,8 @@ def planar_contact_step_n(p: PlanarParams, qpos, qvel, ctrl, n: int):
 
     if p.integrator == EULER:
         def euler_sub(qpos, qvel, lam, sweeps):
-            qacc_c, a0, lam, M, qf = _contact_qacc(p, qpos, qvel, ctrl,
-                                                   lam, sweeps)
+            qacc_c, a0, lam, M, qf = _contact_qacc_jit(p, qpos, qvel,
+                                                       ctrl, lam, sweeps)
             qfrc_con = M @ (qacc_c - a0)
             qacc = chol_solve_unrolled(M + h * jnp.diag(damp),
                                        qf + qfrc_con)
@@ -1151,34 +1163,48 @@ def planar_contact_step_n(p: PlanarParams, qpos, qvel, ctrl, n: int):
                 body, (qpos, qvel, lam), None, length=n - 1)
         return qpos, qvel
 
-    # RK4 (matching step.py _rk4_step's stage structure)
-    def rk4_sub(qpos, qvel, lam, sweeps1):
-        k1v, _, lam, _, _ = _contact_qacc(p, qpos, qvel, ctrl, lam,
-                                          sweeps1)
-        k1p = qvel
-        s2q, s2v = qpos + 0.5 * h * k1p, qvel + 0.5 * h * k1v
-        k2v, _, lam, _, _ = _contact_qacc(p, s2q, s2v, ctrl, lam,
-                                          SWEEPS_WARM)
-        k2p = s2v
-        s3q, s3v = qpos + 0.5 * h * k2p, qvel + 0.5 * h * k2v
-        k3v, _, lam, _, _ = _contact_qacc(p, s3q, s3v, ctrl, lam,
-                                          SWEEPS_WARM)
-        k3p = s3v
-        s4q, s4v = qpos + h * k3p, qvel + h * k3v
-        k4v, _, lam, _, _ = _contact_qacc(p, s4q, s4v, ctrl, lam,
-                                          SWEEPS_WARM)
-        k4p = s4v
-        qpos = qpos + h * (k1p + 2 * k2p + 2 * k3p + k4p) / 6.0
-        qvel = qvel + h * (k1v + 2 * k2v + 2 * k3v + k4v) / 6.0
-        return qpos, qvel, lam
+    # RK4 (matching step.py _rk4_step's stage structure).  Compile-time
+    # program diet: only substep 1's cold stage-1 solve is traced
+    # standalone; every other stage-substep evaluation is ONE scanned
+    # body driven by per-stage tables (c = state coefficient, w = raw
+    # combination weight 1/2/2/1, last = substep boundary flag).  The
+    # arithmetic is op-for-op identical to the unrolled form (same
+    # left-associated sums, same h*(sum)/6 order), pinned by
+    # tests/test_pallas_planar.py::test_contact_comp_matches_stacked at
+    # 1e-10 vs the component mirror.
+    dt = qpos.dtype
+    k1v, _, lam, _, _ = _contact_qacc_jit(p, qpos, qvel, ctrl, lam,
+                                          SWEEPS)
+    acc_p, acc_v = qvel, k1v            # 1 * k1
+    kp, kv = qvel, k1v
+    c_t = jnp.asarray([0.5, 0.5, 1.0] + [0.0, 0.5, 0.5, 1.0] * (n - 1),
+                      dt)
+    w_t = jnp.asarray([2.0, 2.0, 1.0] + [1.0, 2.0, 2.0, 1.0] * (n - 1),
+                      dt)
+    l_t = jnp.asarray(([0.0, 0.0, 1.0] + [0.0, 0.0, 0.0, 1.0] * (n - 1)),
+                      dt)
 
-    qpos, qvel, lam = rk4_sub(qpos, qvel, lam, SWEEPS)
-    if n > 1:
-        def body(carry, _):
-            q2, v2, l2 = rk4_sub(*carry, SWEEPS_WARM)
-            return (q2, v2, l2), ()
-        (qpos, qvel, lam), _ = jax.lax.scan(
-            body, (qpos, qvel, lam), None, length=n - 1)
+    def stage(carry, xs):
+        qpos, qvel, kp, kv, acc_p, acc_v, lam = carry
+        c_i, w_i, l_i = xs
+        s_q = qpos + c_i * h * kp
+        s_v = qvel + c_i * h * kv
+        kv2, _, lam, _, _ = _contact_qacc_jit(p, s_q, s_v, ctrl, lam,
+                                              SWEEPS_WARM)
+        kp2 = s_v
+        acc_p = acc_p + w_i * kp2
+        acc_v = acc_v + w_i * kv2
+        # substep boundary (l_i = 1 on each substep's 4th stage):
+        # integrate with the accumulated combination and reset
+        qpos = qpos + l_i * (h * acc_p / 6.0)
+        qvel = qvel + l_i * (h * acc_v / 6.0)
+        acc_p = (1.0 - l_i) * acc_p
+        acc_v = (1.0 - l_i) * acc_v
+        return (qpos, qvel, kp2, kv2, acc_p, acc_v, lam), ()
+
+    (qpos, qvel, _, _, _, _, lam), _ = jax.lax.scan(
+        stage, (qpos, qvel, kp, kv, acc_p, acc_v, lam),
+        (c_t, w_t, l_t))
     return qpos, qvel
 
 
