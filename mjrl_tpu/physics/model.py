@@ -102,15 +102,18 @@ class Model(struct.PyTreeNode):
     # system size, which dominates contact-rich models (peg: 474
     # candidates, <~20 ever simultaneously active).
     contact_topk: int = struct.field(pytree_node=False, default=0)
-    # RK4 constraint-row freeze granularity: rows (contact geometry,
-    # impedance, active set) are always frozen across the 4 stages of
-    # one substep; with row_freeze_step=True they are additionally
-    # frozen across the WHOLE frame_skip control step.  Per-substep
-    # (default) matches MuJoCo's per-forward row rebuild — freezing an
-    # impact-depth aref across a 0.05 s control step injects energy
-    # (ant touchdown bounced to 2x its drop height).  Per-step is an
-    # opt-in amortization for quasi-static contact models (peg: zero
-    # gravity, guided insertion, 474-pair assembly dominates).
+    # RK4 constraint-row freeze granularity: by default rows (contact
+    # geometry, impedance, active set) are rebuilt at EVERY RK4 stage,
+    # matching MuJoCo's mj_RungeKutta (one full mj_forward per stage).
+    # Any coarser freeze was measured to inject energy at impacts:
+    # per-control-step freezing bounced the ant to 2x its drop height,
+    # and even per-substep freezing made random-action ants exit the
+    # healthy range through the TOP (16/16 terminations at z>=1.0,
+    # survival median 34 vs real MuJoCo's 51).  row_freeze_step=True
+    # freezes the substep-0 rows across stages AND the whole frame_skip
+    # control step — an opt-in amortization for quasi-static contact
+    # models (peg: zero gravity, guided insertion, 474-pair assembly
+    # dominates the dynamics evaluation).
     row_freeze_step: bool = struct.field(pytree_node=False, default=False)
     # friction-cone type for the implicit solver's contact rows
     # (<option cone="pyramidal|elliptic">): PYRAMIDAL emits 4 facet
@@ -743,7 +746,8 @@ class ModelBuilder:
         candidates than that — bounds the dual system on contact-rich
         models like peg insertion without touching small ones).
         ``row_freeze_step``: freeze RK4 constraint rows across the whole
-        control step instead of per substep (see Model.row_freeze_step)."""
+        control step instead of rebuilding them at every RK4 stage
+        (see Model.row_freeze_step)."""
         self._sort_by_body()
         nbody = len(self.bodies)
         njnt = len(self.joints)

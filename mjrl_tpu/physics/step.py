@@ -151,12 +151,17 @@ def _rk4_step(model: Model, state: State, ctrl, warm=None, sweeps=None,
         return s.qvel, qacc, w2, rws2
 
     from mjrl_tpu.physics.solver import SWEEPS_WARM
-    # the constraint-row context built at stage 1 (or inherited from the
-    # previous substep) is FROZEN across the RK4 stages: contact/limit
-    # geometry barely moves within one timestep, and only the velocity
-    # part of aref is stage-dependent (recomputed from the frozen J) —
-    # this amortizes the dominant row-assembly cost 4x (16x with step_n's
-    # per-control-step freeze).
+    # constraint rows are rebuilt at EVERY stage by default, matching
+    # MuJoCo's mj_RungeKutta (one full mj_forward — collision + row
+    # assembly — per stage).  Freezing rows across stages was measured to
+    # inject energy at impacts: a contact appearing or deepening during
+    # the stage extrapolations is solved against stage-1 geometry, and
+    # random-action ants bounced out of the healthy z-range through the
+    # TOP (all 16/16 terminations at z>=1.0 vs MuJoCo's fall-dominated
+    # mix; survival median 34 vs MuJoCo's 51).  Models that opt into
+    # row_freeze_step=True (quasi-static contacts, e.g. peg insertion
+    # where the 474-pair narrowphase dominates) keep the frozen context
+    # across stages AND substeps.
     # Stages 2-4 run as ONE scanned body over per-stage (c, w) tables —
     # compile-time program diet: the dynamics evaluation is traced twice
     # (cold stage 1 + warm stage) instead of 4x, with op-for-op
@@ -166,13 +171,14 @@ def _rk4_step(model: Model, state: State, ctrl, warm=None, sweeps=None,
     dt = state.qvel.dtype
     c_t = jnp.asarray([0.5, 0.5, 1.0], dt)
     w_t = jnp.asarray([2.0, 2.0, 1.0], dt)
+    stage_rows = rows if model.row_freeze_step else None
 
     def stage(carry, xs):
         kp, kv, acc_p, acc_v, wc = carry
         c_i, w_i = xs
         s = State(qpos=integrate_pos(model, state.qpos, kp, c_i * h),
                   qvel=state.qvel + c_i * h * kv)
-        kp2, kv2, wc, _ = deriv(s, wc, SWEEPS_WARM, rows)
+        kp2, kv2, wc, _ = deriv(s, wc, SWEEPS_WARM, stage_rows)
         return (kp2, kv2, acc_p + w_i * kp2, acc_v + w_i * kv2, wc), ()
 
     (_, _, acc_p, acc_v, w), _ = jax.lax.scan(
@@ -209,13 +215,12 @@ def step_n(model: Model, state: State, ctrl, n: int):
         # substep 0: cold solve (full iteration budget); remaining
         # substeps warm-start from the previous impulses with a smaller
         # budget — the contact configuration barely moves within a
-        # control step.  RK4 rows are frozen across the 4 stages of one
-        # substep and rebuilt per substep (matching MuJoCo's per-forward
-        # rebuild: an impact-depth aref frozen across the whole control
-        # step injects energy — ant touchdown bounced 2x).  Models with
-        # row_freeze_step=True (quasi-static contacts, e.g. peg: row
-        # assembly is ~80% of a dynamics eval over 474 pairs) freeze the
-        # substep-0 rows across the WHOLE control step.
+        # control step.  RK4 rows are rebuilt at every stage (matching
+        # MuJoCo's per-mj_forward rebuild: any coarser freeze was
+        # measured to inject energy at impacts — see _rk4_step).  Models
+        # with row_freeze_step=True (quasi-static contacts, e.g. peg:
+        # row assembly is ~80% of a dynamics eval over 474 pairs) freeze
+        # the substep-0 rows across the WHOLE control step.
         state, warm, rows = step_warm(model, state, ctrl, None, None)
 
         if rows is None or not model.row_freeze_step:
