@@ -166,28 +166,37 @@ def _capsule_capsule(a1, b1, r1, a2, b2, r2):
 # static pair grouping
 # ---------------------------------------------------------------------------
 
+_GROUP_ORDER = ("plane_sphere", "plane_capsule", "box_sphere", "box_axis",
+                "capsule_sphere", "capsule_capsule")
+
+
 def _grouped_pairs(model: Model):
     """Split contact_pairs into per-primitive groups (host-side, static).
-    Returns dict of lists of (g1, g2[, t]) with g1 the plane/box."""
-    groups = {"plane_sphere": [], "plane_capsule": [], "box_sphere": [],
-              "box_axis": [], "capsule_capsule": []}
-    for (a, b) in model.contact_pairs:
+    Returns dict of lists of (g1, g2, pair_idx[, t]) with g1 the
+    plane/box/capsule reference geom; pair_idx indexes
+    model.contact_pairs (-> contact_pair_condim)."""
+    groups = {k: [] for k in _GROUP_ORDER}
+    for pi, (a, b) in enumerate(model.contact_pairs):
         ta, tb = model.geom_type[a], model.geom_type[b]
-        if (tb == PLANE) or (tb == BOX and ta != PLANE):
+        if (tb == PLANE) or (tb == BOX and ta != PLANE) or \
+           (tb in (CAPSULE, CYLINDER) and ta == SPHERE):
             a, b = b, a
             ta, tb = tb, ta
         if ta == PLANE and tb == SPHERE:
-            groups["plane_sphere"].append((a, b))
+            groups["plane_sphere"].append((a, b, pi))
         elif ta == PLANE and tb in (CAPSULE, CYLINDER):
             for k in (0, 1):    # one contact per end cap (MuJoCo manifold)
-                groups["plane_capsule"].append((a, b, k))
+                groups["plane_capsule"].append((a, b, pi, k))
         elif ta == BOX and tb == SPHERE:
-            groups["box_sphere"].append((a, b))
+            groups["box_sphere"].append((a, b, pi))
         elif ta == BOX and tb in (CAPSULE, CYLINDER):
             for k in range(_AXIS_SAMPLES):
-                groups["box_axis"].append((a, b, k))
+                groups["box_axis"].append((a, b, pi, k))
+        elif ta in (CAPSULE, CYLINDER) and tb == SPHERE:
+            # sphere = zero-length capsule (Adroit fingertips vs ball)
+            groups["capsule_sphere"].append((a, b, pi))
         elif ta == CAPSULE and tb == CAPSULE:
-            groups["capsule_capsule"].append((a, b))
+            groups["capsule_capsule"].append((a, b, pi))
         # unsupported pairs (e.g. static box-box) are skipped
     return groups
 
@@ -198,13 +207,30 @@ def contact_geom_ids(model: Model):
     (e.g. by condim)."""
     groups = _grouped_pairs(model)
     order = []
-    for key in ("plane_sphere", "plane_capsule", "box_sphere", "box_axis",
-                "capsule_capsule"):
+    for key in _GROUP_ORDER:
         order += [(p[0], p[1]) for p in groups[key]]
     if not order:
         return (np.zeros(0, np.int32), np.zeros(0, np.int32))
     return (np.array([p[0] for p in order], np.int32),
             np.array([p[1] for p in order], np.int32))
+
+
+def contact_pair_condims(model: Model):
+    """Static per-emitted-contact condim array aligned with
+    contact_geom_ids / find_contacts emission order, from the per-PAIR
+    condim table (explicit <contact><pair> declarations override the
+    geom-max rule)."""
+    groups = _grouped_pairs(model)
+    cd = model.contact_pair_condim
+    if not cd:   # builders predating the field: geom-max rule
+        g1, g2 = contact_geom_ids(model)
+        c = np.array(model.geom_condim, np.int32)
+        return (np.maximum(c[g1], c[g2]) if len(g1)
+                else np.zeros(0, np.int32))
+    order = []
+    for key in _GROUP_ORDER:
+        order += [cd[p[2]] for p in groups[key]]
+    return np.array(order, np.int32) if order else np.zeros(0, np.int32)
 
 
 def find_contacts(model: Model, data):
@@ -232,7 +258,7 @@ def find_contacts(model: Model, data):
         i1 = idx(groups["plane_capsule"], 0)
         i2 = idx(groups["plane_capsule"], 1)
         ends = jnp.asarray(np.array(
-            [p[2] for p in groups["plane_capsule"]], np.float32))
+            [p[3] for p in groups["plane_capsule"]], np.float32))
         sgn = 2.0 * ends - 1.0          # end 0 -> -axis, end 1 -> +axis
         c = _add(_pos(gx, i2), _scale(_col(gm, i2, 2), sgn * size[i2, 1]))
         d, p, n = _sphere_plane(c, size[i2, 0], _pos(gx, i1),
@@ -248,12 +274,21 @@ def find_contacts(model: Model, data):
     if groups["box_axis"]:
         i1 = idx(groups["box_axis"], 0)
         i2 = idx(groups["box_axis"], 1)
-        ks = jnp.asarray(np.array([p[2] for p in groups["box_axis"]],
+        ks = jnp.asarray(np.array([p[3] for p in groups["box_axis"]],
                                   np.float32))
         t = 2.0 * ks / (_AXIS_SAMPLES - 1) - 1.0       # [-1, 1]
         c = _add(_pos(gx, i2), _scale(_col(gm, i2, 2), t * size[i2, 1]))
         d, p, n = _sphere_box(c, size[i2, 0], gm, i1, _pos(gx, i1),
                               (size[i1, 0], size[i1, 1], size[i1, 2]))
+        out.append((d, p, n, i1, i2))
+    if groups["capsule_sphere"]:
+        i1 = idx(groups["capsule_sphere"], 0)
+        i2 = idx(groups["capsule_sphere"], 1)
+        ax1 = _scale(_col(gm, i1, 2), size[i1, 1])
+        c2 = _pos(gx, i2)
+        d, p, n = _capsule_capsule(
+            _sub(_pos(gx, i1), ax1), _add(_pos(gx, i1), ax1), size[i1, 0],
+            c2, c2, size[i2, 0])
         out.append((d, p, n, i1, i2))
     if groups["capsule_capsule"]:
         i1 = idx(groups["capsule_capsule"], 0)

@@ -27,11 +27,40 @@ reference assets (tests/test_mjcf.py).
 """
 
 import math
+import os
 import xml.etree.ElementTree as ET
 
 import numpy as np
 
 from mjrl_tpu.physics.model import ModelBuilder
+
+
+def _splice_includes(root, base_dir):
+    """Resolve <include file="..."/> elements recursively: each is
+    replaced in place by the children of the included document's root
+    (<mujoco> or <mujocoinclude>) — MuJoCo's include semantics.  Works
+    at any nesting depth (Adroit includes the hand model INSIDE a
+    worldbody body)."""
+    i = 0
+    while i < len(root):
+        child = root[i]
+        if child.tag == "include":
+            fname = child.get("file")
+            if base_dir is None:
+                raise ValueError(
+                    "<include> requires a file path (load_mjcf(path=...)) "
+                    "so relative includes can be resolved")
+            sub = ET.parse(os.path.join(base_dir, fname)).getroot()
+            _splice_includes(sub, base_dir)
+            root.remove(child)
+            for j, new in enumerate(list(sub)):
+                root.insert(i + j, new)
+            # spliced elements are themselves include-free now; continue
+            # scanning from the same position to process them as children
+        else:
+            _splice_includes(child, base_dir)
+            i += 1
+    return root
 
 
 def _floats(s):
@@ -130,16 +159,23 @@ def load_mjcf(path=None, xml_string=None):
     root = ET.fromstring(xml_string) if xml_string is not None \
         else ET.parse(path).getroot()
     assert root.tag == "mujoco"
+    _splice_includes(root, os.path.dirname(os.path.abspath(path))
+                     if path is not None else None)
 
-    compiler = root.find("compiler")
-    angle = (compiler.get("angle", "degree") if compiler is not None
-             else "degree")
+    # a document + its includes may each carry compiler/option elements;
+    # merge attributes in document order (later files refine earlier)
+    compiler = {}
+    for c in root.findall("compiler"):
+        compiler.update(c.attrib)
+    angle = compiler.get("angle", "degree")
     to_rad = (math.pi / 180.0) if angle == "degree" else 1.0
 
-    opt = root.find("option")
+    opt_attrs = {}
+    for o in root.findall("option"):
+        opt_attrs.update(o.attrib)
 
     def opt_get(name, default):
-        return opt.get(name, default) if opt is not None else default
+        return opt_attrs.get(name, default)
 
     builder = ModelBuilder(
         timestep=float(opt_get("timestep", "0.002")),
@@ -150,10 +186,8 @@ def load_mjcf(path=None, xml_string=None):
         viscosity=float(opt_get("viscosity", "0")),
         density=float(opt_get("density", "0")),
         cone=opt_get("cone", "pyramidal"),
-        settotalmass=(float(compiler.get("settotalmass"))
-                      if compiler is not None
-                      and compiler.get("settotalmass") is not None
-                      else None))
+        settotalmass=(float(compiler["settotalmass"])
+                      if "settotalmass" in compiler else None))
 
     defaults = _Defaults()
     for d in root.findall("default"):
@@ -173,6 +207,18 @@ def load_mjcf(path=None, xml_string=None):
     def add_geom(body_id, g, cls):
         a = defaults.resolve("geom", g.get("class", cls), g.attrib)
         gtype = a.get("type", "sphere")
+        if gtype == "mesh" or "mesh" in a:
+            # mesh geoms are supported only as VISUAL geometry: they must
+            # be non-colliding and their body must declare an explicit
+            # <inertial> (the Adroit pattern — class D_Vizual meshes are
+            # contype 0 conaffinity 0 and every body carries inertials)
+            if int(a.get("contype", "1")) or int(a.get("conaffinity", "1")):
+                raise NotImplementedError(
+                    "collidable mesh geoms are not supported (mesh "
+                    "narrowphase); visual-only meshes (contype=0 "
+                    "conaffinity=0) are skipped")
+            mesh_bodies.add(body_id)
+            return
         kwargs = dict(
             gtype=gtype,
             size=tuple(_floats(a["size"])) if "size" in a else (0.0,),
@@ -224,9 +270,43 @@ def load_mjcf(path=None, xml_string=None):
         builder.add_site(body_id, pos=tuple(_floats(a.get("pos", "0 0 0"))),
                          quat=tuple(elem_quat(a)), name=a.get("name"))
 
+    mesh_bodies = set()   # bodies whose (visual) mesh geoms were skipped
+
+    def add_inertial(body_id, inr):
+        """Explicit <inertial>: mass + diaginertia (or fullinertia) in
+        the principal frame given by pos/quat."""
+        if "fullinertia" in inr.attrib:
+            fi = _floats(inr.attrib["fullinertia"])  # ixx iyy izz ixy ixz iyz
+            m = np.array([[fi[0], fi[3], fi[4]],
+                          [fi[3], fi[1], fi[5]],
+                          [fi[4], fi[5], fi[2]]])
+            evals, evecs = np.linalg.eigh(m)
+            order = np.argsort(evals)[::-1]
+            evals, evecs = evals[order], evecs[:, order]
+            if np.linalg.det(evecs) < 0:
+                evecs[:, 2] *= -1
+            # rotation -> quat via the builder's convention: delegate to
+            # diaginertia + quat form
+            w = math.sqrt(max(1.0 + np.trace(evecs), 1e-12)) / 2.0
+            q = np.array([w, (evecs[2, 1] - evecs[1, 2]) / (4 * w),
+                          (evecs[0, 2] - evecs[2, 0]) / (4 * w),
+                          (evecs[1, 0] - evecs[0, 1]) / (4 * w)])
+            diag, quat = evals, q / np.linalg.norm(q)
+        else:
+            diag = _floats(inr.attrib["diaginertia"])
+            quat = elem_quat(inr.attrib)
+        builder.bodies[body_id].inertial = dict(
+            mass=float(inr.attrib["mass"]),
+            pos=tuple(_floats(inr.get("pos", "0 0 0"))),
+            quat=tuple(quat), diaginertia=tuple(diag))
+
     def walk(elem, parent_id, cls):
         for child in elem:
             if child.tag == "body":
+                # mocap bodies (settable fixed frames in MuJoCo) become
+                # plain static bodies: without a host writing mocap_pos
+                # they are world-fixed geometry, which matches how the
+                # Adroit tasks use the vive_tracker anchor
                 body_cls = child.get("childclass", cls)
                 bid = builder.add_body(
                     parent_id,
@@ -240,13 +320,20 @@ def load_mjcf(path=None, xml_string=None):
                 add_geom(parent_id, child, cls)
             elif child.tag == "site":
                 add_site(parent_id, child, cls)
+            elif child.tag == "inertial":
+                add_inertial(parent_id, child)
             # lights/cameras/textures are rendering-only: skipped
 
     worldbody = root.find("worldbody")
     walk(worldbody, 0, "main")
+    for bid in mesh_bodies:
+        if builder.bodies[bid].inertial is None:
+            raise NotImplementedError(
+                "a body with mesh geoms needs an explicit <inertial> — "
+                "mesh mass properties are not computed, so dropping the "
+                "visual mesh would otherwise change the body's mass")
 
-    tendons = root.find("tendon")
-    if tendons is not None:
+    for tendons in root.findall("tendon"):
         for t in tendons:
             if t.tag != "fixed":
                 raise NotImplementedError(
@@ -271,8 +358,24 @@ def load_mjcf(path=None, xml_string=None):
                 solimp=_solparam(a, "solimplimit", _SOLIMP_DEFAULT),
                 name=a.get("name"))
 
-    equality = root.find("equality")
-    if equality is not None:
+    for contact in root.findall("contact"):
+        for c in contact:
+            if c.tag == "pair":
+                builder.add_contact_pair(
+                    builder.names["geom"][c.get("geom1")],
+                    builder.names["geom"][c.get("geom2")],
+                    condim=(int(c.get("condim"))
+                            if "condim" in c.attrib else None))
+            elif c.tag == "exclude":
+                builder.add_contact_exclude(
+                    builder.names["body"][c.get("body1")],
+                    builder.names["body"][c.get("body2")])
+            else:
+                raise NotImplementedError(
+                    f"contact element {c.tag!r} not supported "
+                    "(pair/exclude only)")
+
+    for equality in root.findall("equality"):
         for e in equality:
             a = e.attrib
             common = dict(
@@ -308,8 +411,7 @@ def load_mjcf(path=None, xml_string=None):
                     f"equality type {e.tag!r} not supported yet "
                     "(joint/connect/weld only)")
 
-    actuators = root.find("actuator")
-    if actuators is not None:
+    for actuators in root.findall("actuator"):
         for m in actuators:
             if m.tag not in ("motor", "position", "velocity", "general"):
                 raise NotImplementedError(

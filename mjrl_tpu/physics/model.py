@@ -87,7 +87,9 @@ class Model(struct.PyTreeNode):
     actuator_joint: Tuple[int, ...] = struct.field(pytree_node=False)
     integrator: int = struct.field(pytree_node=False)
     solver: int = struct.field(pytree_node=False, default=0)
-    # collision pairs: tuple of (geom1, geom2) indices, computed at build
+    # collision pairs: tuple of (geom1, geom2) indices — the dynamic
+    # contype/conaffinity pairs plus any explicit <contact><pair>
+    # declarations (minus <exclude>d body pairs), computed at build
     contact_pairs: Tuple[Tuple[int, int], ...] = struct.field(
         pytree_node=False, default=())
     # contact dimensionality per geom (1 = frictionless normal, 3 =
@@ -95,6 +97,14 @@ class Model(struct.PyTreeNode):
     # Static: it decides the constraint-row structure at trace time.
     geom_condim: Tuple[int, ...] = struct.field(pytree_node=False,
                                                 default=())
+    # per-PAIR condim aligned with contact_pairs: max of the geom
+    # condims for dynamic pairs, the pair element's own condim for
+    # explicit <contact><pair> declarations (MuJoCo pair semantics —
+    # Adroit disables finger-finger friction this way).  condim 4/6
+    # (torsional/rolling friction) is accepted and treated as 3: the
+    # torsional row is not implemented (documented deviation).
+    contact_pair_condim: Tuple[int, ...] = struct.field(
+        pytree_node=False, default=())
     # implicit-solver active-set cap: when a condim class has more
     # candidate contacts than this, only the contact_topk deepest are
     # given constraint rows (top-k per dynamics eval; 0 = no cap).
@@ -400,6 +410,7 @@ class _Body:
     quat: np.ndarray
     joints: list = field(default_factory=list)
     geoms: list = field(default_factory=list)
+    inertial: dict = None   # explicit <inertial> override (see add_body)
 
 
 class ModelBuilder:
@@ -423,14 +434,24 @@ class ModelBuilder:
         self.actuators = []
         self.tendons = []
         self.equalities = []
+        # explicit <contact><pair> declarations: (g1, g2, condim or None)
+        # and <exclude> body pairs (b1, b2)
+        self.explicit_pairs = []
+        self.excluded_body_pairs = []
         self.names = {"body": {"world": 0}, "site": {}, "geom": {},
                       "joint": {}, "tendon": {}}
 
     # ---- declaration API -------------------------------------------------
-    def add_body(self, parent, pos=(0, 0, 0), quat=(1, 0, 0, 0), name=None):
+    def add_body(self, parent, pos=(0, 0, 0), quat=(1, 0, 0, 0), name=None,
+                 inertial=None):
+        """``inertial``: optional explicit <inertial> spec overriding the
+        inertiafromgeom computation — dict with mass, pos (CoM in body
+        frame), diaginertia (3 principal moments) and optional quat
+        (principal frame), exactly MuJoCo's explicit-inertial path."""
         self.bodies.append(_Body(parent=parent,
                                  pos=np.asarray(pos, np.float64),
-                                 quat=np.asarray(quat, np.float64)))
+                                 quat=np.asarray(quat, np.float64),
+                                 inertial=inertial))
         bid = len(self.bodies) - 1
         if name:
             self.names["body"][name] = bid
@@ -475,11 +496,14 @@ class ModelBuilder:
                  contype=1, conaffinity=1, friction=(1.0, 0.005, 0.0001),
                  margin=0.0, solref=(0.02, 1.0),
                  solimp=(0.9, 0.95, 0.001, 0.5, 2.0), condim=3, name=None):
-        if condim not in (1, 3):
+        if condim not in (1, 3, 4, 6):
             raise NotImplementedError(
                 f"condim {condim} not supported (1 = frictionless, 3 = "
-                "tangential friction; torsional/rolling condim 4/6 are not "
-                "implemented)")
+                "tangential friction)")
+        # condim 4/6 (torsional/rolling friction rows) are accepted but
+        # reduced to 3 — the extra friction rows are not implemented
+        # (documented deviation; tangential + normal response only)
+        condim = min(int(condim), 3)
         size = np.array(list(size) + [0.0] * (3 - len(size)), np.float64)
         pos = np.asarray(pos, np.float64)
         quat = np.asarray(quat, np.float64)
@@ -509,6 +533,20 @@ class ModelBuilder:
         if name:
             self.names["site"][name] = sid
         return sid
+
+    def add_contact_pair(self, geom1, geom2, condim=None):
+        """Explicit <contact><pair>: always a collision candidate,
+        regardless of contype/conaffinity (MuJoCo predefined-pair
+        semantics); ``condim`` overrides the geom-max rule (None keeps
+        it).  Adroit declares its finger-finger contacts this way with
+        condim 1."""
+        self.explicit_pairs.append((int(geom1), int(geom2),
+                                    None if condim is None else int(condim)))
+
+    def add_contact_exclude(self, body1, body2):
+        """<contact><exclude>: drop every dynamic geom pair between the
+        two bodies (explicit pairs are NOT excluded — MuJoCo rule)."""
+        self.excluded_body_pairs.append((int(body1), int(body2)))
 
     def add_tendon(self, joints, ten_range=None, limited=None,
                    stiffness=0.0, damping=0.0, springlength=None,
@@ -647,7 +685,17 @@ class ModelBuilder:
 
     # ---- compilation ------------------------------------------------------
     def _body_inertial(self, body):
-        """Combine geom inertias -> (mass, ipos, iquat, principal inertia)."""
+        """Combine geom inertias -> (mass, ipos, iquat, principal inertia).
+        An explicit <inertial> spec (add_body inertial=...) wins outright,
+        matching MuJoCo's inertiafromgeom="auto" default (geom-derived
+        inertia only fills in when the body declares none)."""
+        if body.inertial is not None:
+            inr = body.inertial
+            q = np.asarray(inr.get("quat", (1.0, 0, 0, 0)), np.float64)
+            return (float(inr["mass"]),
+                    np.asarray(inr.get("pos", (0.0, 0, 0)), np.float64),
+                    q / np.linalg.norm(q),
+                    np.asarray(inr["diaginertia"], np.float64))
         total_m = 0.0
         com = np.zeros(3)
         for gid in body.geoms:
@@ -708,14 +756,23 @@ class ModelBuilder:
         return total_m, com, q, np.maximum(evals, 0.0)
 
     def _contact_pairs(self):
-        """MuJoCo pair filtering: different bodies, not parent-child,
-        (contype1 & conaffinity2) or (contype2 & conaffinity1)."""
-        pairs = []
+        """MuJoCo pair filtering -> (pairs, pair_condims).
+
+        Dynamic pairs: different bodies, not parent-child, (contype1 &
+        conaffinity2) or (contype2 & conaffinity1), minus <exclude>d
+        body pairs; condim = max of geom condims.  Explicit
+        <contact><pair> declarations are appended (deduplicated against
+        the dynamic set, their condim override winning — MuJoCo gives
+        predefined pairs precedence) and are immune to excludes."""
+        excl = {tuple(sorted(p)) for p in self.excluded_body_pairs}
+        pairs, condims = [], []
         for i, g1 in enumerate(self.geoms):
             for j in range(i + 1, len(self.geoms)):
                 g2 = self.geoms[j]
                 b1, b2 = g1["body"], g2["body"]
                 if b1 == b2:
+                    continue
+                if tuple(sorted((b1, b2))) in excl:
                     continue
                 p1, p2 = self.bodies[b1].parent, self.bodies[b2].parent
                 # exclude parent-child (MuJoCo default; world-body geoms
@@ -725,7 +782,19 @@ class ModelBuilder:
                 if (g1["contype"] & g2["conaffinity"]) or \
                    (g2["contype"] & g1["conaffinity"]):
                     pairs.append((i, j))
-        return tuple(pairs)
+                    condims.append(max(g1["condim"], g2["condim"]))
+        index = {p: k for k, p in enumerate(pairs)}
+        for (i, j, cd) in self.explicit_pairs:
+            key = (i, j) if i < j else (j, i)
+            cd = (max(self.geoms[i]["condim"], self.geoms[j]["condim"])
+                  if cd is None else min(cd, 3))
+            if key in index:
+                condims[index[key]] = cd
+            else:
+                index[key] = len(pairs)
+                pairs.append(key)
+                condims.append(cd)
+        return tuple(pairs), tuple(condims)
 
     def _sort_by_body(self):
         """MuJoCo orders geoms/sites grouped by body in tree order; match
@@ -738,6 +807,9 @@ class ModelBuilder:
             if kind == "geom":
                 for b in self.bodies:
                     b.geoms = [remap[g] for g in b.geoms]
+                self.explicit_pairs = [
+                    (remap[i], remap[j], cd)
+                    for (i, j, cd) in self.explicit_pairs]
 
     def finalize(self, dtype=jnp.float32, solver="penalty",
                  contact_topk=None, row_freeze_step=False):
@@ -832,6 +904,8 @@ class ModelBuilder:
                 sl = np.zeros(2)
             ten_spring[ti] = sl
 
+        pairs_, pair_condim_ = self._contact_pairs()
+
         model = Model(
             nbody=nbody, njnt=njnt, nq=nq, nv=nv, nu=nu, ngeom=ngeom,
             nsite=nsite,
@@ -849,7 +923,8 @@ class ModelBuilder:
             integrator=self.opt["integrator"],
             solver=_solver_id(solver),
             cone=self.opt.get("cone", PYRAMIDAL),
-            contact_pairs=self._contact_pairs(),
+            contact_pairs=pairs_,
+            contact_pair_condim=pair_condim_,
             body_pos=arr([b.pos for b in self.bodies]),
             body_quat=arr([b.quat for b in self.bodies]),
             body_ipos=arr(ipos), body_iquat=arr(iquat),

@@ -47,7 +47,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mjrl_tpu.physics.collision import contact_geom_ids, find_contacts
+from mjrl_tpu.physics.collision import (contact_geom_ids,
+                                        contact_pair_condims, find_contacts)
 from mjrl_tpu.physics.dynamics import (ancestor_mask, ball_limit_terms,
                                        equality_terms)
 from mjrl_tpu.physics.model import BALL, ELLIPTIC, Model
@@ -97,9 +98,13 @@ def _impedance_components(si, violation):
 
 def constraint_rows(model: Model, data, cdof, qpos, qvel):
     """Assemble the static constraint rows -> (J (C, nv), aref_pos (C,),
-    b_row (C,), active (C,), R (C,), lo (C,), soc_mu (K,)) — soc_mu is
-    the per-contact friction of the elliptic cone triples (empty on
-    pyramidal models).
+    b_row (C,), active (C,), R (C,), lo (C,), soc_mu (K,), slot_ids (C,))
+    — soc_mu is the per-contact friction of the elliptic cone triples
+    (empty on pyramidal models); slot_ids identifies WHICH candidate
+    occupies each padded row slot (-1 for rows whose identity is static),
+    so a warm-start impulse vector can be invalidated per slot when the
+    contact_topk active set changes between row rebuilds (RK4 stages /
+    substeps) — see constrained_qacc.
 
     The velocity part of MuJoCo's reference acceleration is kept
     SEPARATE: aref(v) = aref_pos - b_row * (J v), so a frozen row
@@ -244,9 +249,7 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
                     for d in range(model.nv)]
             return jnp.stack(cols, axis=-1)
 
-        g1_np, g2_np = contact_geom_ids(model)
-        condim_np = np.array(model.geom_condim, np.int32)
-        pair_condim = np.maximum(condim_np[g1_np], condim_np[g2_np])
+        pair_condim = contact_pair_condims(model)
         idx_n = np.where(pair_condim == 1)[0]
         idx_f = np.where(pair_condim >= 3)[0]
 
@@ -261,12 +264,13 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
             k = model.contact_topk
             if not (k and len(idx_np) > k):
                 idx = jnp.asarray(idx_np)
-                return lambda arr: arr[idx]
+                # uncapped: slot identity is static -> ids never change
+                return (lambda arr: arr[idx]), idx.astype(jnp.int32)
             _, li = jax.lax.top_k(depths[jnp.asarray(idx_np)], k)
             s = jnp.sort(jnp.asarray(idx_np)[li])
             c_all = depths.shape[0]
             oh = (s[:, None] == jnp.arange(c_all)[None, :]).astype(dtype)
-            return lambda arr: oh @ arr
+            return (lambda arr: oh @ arr), s.astype(jnp.int32)
 
         def coeff_cols(take):
             """Per-dof chain coefficients of the selected contacts."""
@@ -276,8 +280,9 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
                 cols.append(take(col[b2] - col[b1]))
             return cols
 
+        ids_n = ids_f = None
         if len(idx_n):         # frictionless: one normal row, R from iw
-            take = make_take(idx_n)
+            take, ids_n = make_take(idx_n)
             pts = tuple(take(p) for p in point)
             j_row = jac(tuple(take(n) for n in normal), pts,
                         coeff_cols(take))
@@ -291,7 +296,7 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
                                     1e-12))
 
         if len(idx_f):         # pyramidal: 4 facets, mu-scaled diagApprox
-            take = make_take(idx_f)
+            take, ids_f = make_take(idx_f)
             mue = take(mu)
             t_imp = take(imp_c)
             diag_approx = take(iw) * 2.0 * mue * mue * (1.0 + mue * mue)
@@ -333,8 +338,24 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
 
     if not rows:          # a model with no limits/contacts/equalities
         z = jnp.zeros((0,), dtype)
-        return (jnp.zeros((0, nv), dtype), z, z, z, z, z, z)
+        return (jnp.zeros((0, nv), dtype), z, z, z, z, z, z,
+                jnp.zeros((0,), jnp.int32))
     j_all = jnp.concatenate(rows)
+    # per-slot candidate identity: -1 (never changes) for the static
+    # prefix (equality/limit/ball/tendon rows), the selected candidate id
+    # for contact rows — repeated per facet (pyramidal appends 4 K-blocks)
+    # / per triple row (elliptic appends 3)
+    id_parts = []
+    if C:
+        if ids_n is not None:
+            id_parts.append(ids_n)
+        if ids_f is not None:
+            nfac = 3 if model.cone == ELLIPTIC else 4
+            id_parts.extend([ids_f] * nfac)
+    n_con_rows = sum(p.shape[0] for p in id_parts)
+    slot_ids = jnp.concatenate(
+        [jnp.full((j_all.shape[0] - n_con_rows,), -1, jnp.int32)]
+        + id_parts)
     # impulse lower bounds: equality rows (the static prefix) are
     # bilateral, every other row is a unilateral force >= 0 — except
     # elliptic contact triples, whose componentwise clamp must pass
@@ -349,7 +370,7 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
         soc_mu = mue
     return (j_all, jnp.concatenate(arefs),
             jnp.concatenate(brows), jnp.concatenate(actives),
-            jnp.concatenate(regs), lo, soc_mu)
+            jnp.concatenate(regs), lo, soc_mu, slot_ids)
 
 
 def _ball_rows(model: Model, qpos):
@@ -361,11 +382,9 @@ def _ball_rows(model: Model, qpos):
 def _contact_counts(model: Model):
     """Static (n_frictionless, n_friction) contact row-group sizes
     after the contact_topk cap."""
-    g1_np, g2_np = contact_geom_ids(model)
-    if not len(g1_np):
+    pair_condim = contact_pair_condims(model)
+    if not len(pair_condim):
         return 0, 0
-    condim_np = np.array(model.geom_condim, np.int32)
-    pair_condim = np.maximum(condim_np[g1_np], condim_np[g2_np])
     n_1 = int((pair_condim == 1).sum())
     n_3 = int((pair_condim >= 3).sum())
     if model.contact_topk:
@@ -513,14 +532,19 @@ def solve_qacc(m, a0, j, aref, active, r, lam0, sweeps=SWEEPS, lo=None,
 
 def constrained_qacc(model: Model, data, cdof, qpos, qvel, m,
                      qfrc_minus_bias, warm=None, sweeps=None, ctx=None):
-    """qacc under the implicit solver -> (qacc, qacc_smooth, lam, ctx).
+    """qacc under the implicit solver -> (qacc, qacc_smooth, warm', ctx).
 
-    ``warm`` optionally seeds the dual iteration with the previous
-    substep's / RK4 stage's impulses (MuJoCo's warm start); defaults to
-    zeros (cold).  ``sweeps`` (static) overrides the APGD iteration
-    count; None = the cold-start default.
+    ``warm``/``warm'`` is the (impulses, slot_ids) pair seeding the dual
+    iteration from the previous substep's / RK4 stage's solve (MuJoCo's
+    warm start); None = cold zeros.  When rows are rebuilt between
+    solves and the contact_topk active set changed, impulses belonging
+    to slots whose occupying candidate differs are zeroed — a stale
+    seed only slows APGD convergence, but under the reduced SWEEPS_WARM
+    budget the slowdown is observable (advisor finding, round 2).
+    ``sweeps`` (static) overrides the APGD iteration count; None = the
+    cold-start default.
 
-    ``ctx`` (the returned 7-tuple of constraint_rows) reuses a FROZEN
+    ``ctx`` (the returned 8-tuple of constraint_rows) reuses a FROZEN
     row context: J / positions / impedances / regularizers from an
     earlier evaluation, with only the velocity part of aref recomputed
     — the row-assembly amortization for RK4 models whose 16 dynamics
@@ -528,10 +552,14 @@ def constrained_qacc(model: Model, data, cdof, qpos, qvel, m,
     a0 = chol_solve_unrolled(m, qfrc_minus_bias)
     if ctx is None:
         ctx = constraint_rows(model, data, cdof, qpos, qvel)
-    j, aref_pos, b_row, active, r, lo, soc_mu = ctx
-    lam0 = jnp.zeros(j.shape[:1], a0.dtype) if warm is None else warm
+    j, aref_pos, b_row, active, r, lo, soc_mu, slot_ids = ctx
+    if warm is None:
+        lam0 = jnp.zeros(j.shape[:1], a0.dtype)
+    else:
+        lam_prev, ids_prev = warm
+        lam0 = jnp.where(slot_ids == ids_prev, lam_prev, 0.0)
     if j.shape[0] == 0:
-        return a0, a0, lam0, ctx
+        return a0, a0, (lam0, slot_ids), ctx
     # elliptic cone: static block layout + the per-contact mu data ride
     # the frozen ctx (soc_mu has zero length on pyramidal models)
     soc = None
@@ -547,4 +575,4 @@ def constrained_qacc(model: Model, data, cdof, qpos, qvel, m,
     aref = aref_pos - b_row * (j @ qvel)
     qacc, lam = solve_qacc(m, a0, j, aref, active, r, lam0,
                            sweeps=sw, lo=lo, soc=soc)
-    return qacc, a0, lam, ctx
+    return qacc, a0, (lam, slot_ids), ctx

@@ -61,11 +61,14 @@ def main():
                 save_logs=True)
     t0 = time.time()
     best = -1e18
+    best_params = None
     for i in range(args.iters):
         stats = agent.train_step(N=args.ntraj, sample_mode="trajectories",
                                  horizon=args.horizon, gamma=args.gamma,
                                  gae_lambda=args.gae)
-        best = max(best, float(stats[0]))
+        if float(stats[0]) > best:
+            best = float(stats[0])
+            best_params = policy.get_param_values()
         print(json.dumps({"iter": i, "mean_return": round(float(stats[0]), 1),
                           "elapsed_s": round(time.time() - t0, 1)}),
               flush=True)
@@ -81,6 +84,16 @@ def main():
         with open(args.save, "wb") as f:
             pickle.dump(policy, f)
         print(json.dumps({"saved_policy": args.save}), flush=True)
+        # best-iterate snapshot alongside (train_agent.py:101-103's
+        # best_policy tracking): hopper-class tasks can collapse after
+        # peaking, and cross-eval should grade the best policy found
+        if best_params is not None:
+            policy.set_param_values(best_params)
+            base, ext = os.path.splitext(args.save)
+            with open(base + "_best" + ext, "wb") as f:
+                pickle.dump(policy, f)
+            print(json.dumps({"saved_best_policy": base + "_best" + ext,
+                              "best_return": round(best, 1)}), flush=True)
 
 
 if __name__ == "__main__":
