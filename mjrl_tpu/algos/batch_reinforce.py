@@ -287,12 +287,15 @@ class BatchREINFORCE:
 
     def _log_success(self, batch):
         fenv = self.fenv
-        if hasattr(fenv, "evaluate_success") and \
-                "solved" in batch.get("env_infos", {}):
+        infos = batch.get("env_infos", {})
+        # per-env success flags: point_mass-family uses 'solved',
+        # the Adroit suite uses 'goal_achieved' (relocate-v0 semantics)
+        flag = next((k for k in ("solved", "goal_achieved")
+                     if k in infos), None)
+        if hasattr(fenv, "evaluate_success") and flag is not None:
             # a genuinely broken evaluate_success must surface, not be
             # silently unlogged; only absence of the capability is benign
-            rate = fenv.evaluate_success(
-                np.asarray(batch["env_infos"]["solved"]))
+            rate = fenv.evaluate_success(np.asarray(infos[flag]))
             self.logger.log_kv("success_rate", rate)
 
     # -- list-of-paths entry (for demo/BC flows and parity) --------------

@@ -56,4 +56,15 @@ for _id in ("Ant-v3", "Ant-v4"):
 for _id in ("Humanoid-v3", "Humanoid-v4"):
     register(_id, HumanoidEnv)
 
+# Adroit dexterous manipulation (BASELINE.json flagship DAPG task; MJCF
+# from the installed gymnasium_robotics assets).  Lazy: the asset package
+# is optional and the 36-dof model is costly to build at import time.
+def _make_relocate(**kwargs):
+    from mjrl_tpu.envs.adroit import AdroitRelocateEnv
+    return AdroitRelocateEnv(**kwargs)
+
+
+register("relocate-v0", _make_relocate)
+register("AdroitHandRelocate-v1", _make_relocate)
+
 from mjrl_tpu.envs.gym_env import GymEnv  # noqa: E402  (needs _REGISTRY)

@@ -21,12 +21,16 @@ Semantics follow the gym v3 task definitions:
   gym env additionally subtracts a small contact cost); terminate when
   z leaves (0.2, 1.0).
 
-Solver defaults are per env (``default_solver``): Walker2d and
-HalfCheetah use the implicit soft-constraint solver (physics/solver.py,
-contact qacc <=2% vs MuJoCo goldens; validated to IMPROVE learning —
-docs/BENCHMARKS.md), Hopper/Ant/Humanoid default to the penalty path
-(physics/collision.py; Ant's newton settle transient is a documented
-open issue).  Pass ``solver="newton"``/"penalty" to override.
+Solver defaults are per env (``default_solver``): Hopper, Walker2d,
+HalfCheetah and Ant use the implicit soft-constraint solver
+(physics/solver.py, contact qacc <=2% vs MuJoCo goldens) — each flip
+is validated by LEARNING + cross-simulator transfer: policies trained
+under newton score as well or better when rolled inside real MuJoCo
+(docs/BENCHMARKS.md "Cross-simulator validation": Hopper 3196 -> 3285,
+Ant 2582 -> 3041), while penalty-trained policies collapse there
+(Ant 12330 -> -338).  Humanoid stays on penalty pending a validated
+newton training config.  Pass ``solver="newton"``/"penalty" to
+override.
 """
 
 import os
@@ -53,11 +57,10 @@ class _GymMujocoEnv(MujocoLikeEnv):
     vel_noise = None   # None -> uniform reset_noise; float -> gaussian scale
     needs_fk_obs = False  # whole suite observes qpos/qvel only
     # per-env solver default; "newton" where the implicit response is
-    # validated to IMPROVE learning (Walker2d: NPG 2860 vs 639 penalty;
-    # HalfCheetah: 2303 vs 1550 — docs/BENCHMARKS.md).  Ant keeps
-    # penalty: its articulated settle transient under newton diverges
-    # from MuJoCo (multi-stable equilibrium reached via a different
-    # path; static qacc matches goldens) — tracked in docs/ROADMAP.md.
+    # validated to IMPROVE learning and to TRANSFER (cross-eval inside
+    # real MuJoCo — docs/BENCHMARKS.md: Hopper 3196->3285, Walker2d
+    # 2765->3186, Ant 2582->3041; penalty-trained hopper drops
+    # 3094->1188 and penalty ant 12330->-338).
     default_solver = "penalty"
 
     def __init__(self, dtype=jnp.float32, solver=None):
@@ -91,6 +94,7 @@ class HopperEnv(_GymMujocoEnv):
     xml_name = "hopper.xml"
     observation_dim = 11
     frame_skip = 4
+    default_solver = "newton"
     horizon = 1000
     healthy_z = (0.7, jnp.inf)
     healthy_angle = (-0.2, 0.2)
@@ -157,6 +161,10 @@ class AntEnv(_GymMujocoEnv):
     xml_name = "ant.xml"
     observation_dim = 27
     frame_skip = 5
+    # flipped round 3: ant-penalty NPG reaches a fantastical 12330
+    # in-sim but scores -338 in real MuJoCo (contact exploit); newton's
+    # 2582 transfers to 3041 (docs/BENCHMARKS.md cross-eval table)
+    default_solver = "newton"
     horizon = 1000
     reset_noise = 0.1
     vel_noise = 0.1

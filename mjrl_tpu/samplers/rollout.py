@@ -44,6 +44,26 @@ def _never_terminates(env):
     return type(env)._done is MujocoLikeEnv._done
 
 
+def pallas_eligible(env, num_traj, mesh=None, autoreset=False,
+                    backend=None):
+    """Dispatch rule for the Pallas whole-substep planar kernel.
+
+    The kernel owns its own (8, 128) env tiling, so it composes with
+    neither mesh sharding (GSPMD can't partition inside a pallas_call's
+    grid) nor autoreset/termination masks; under a mesh the rollout
+    always takes the shardable vmap path (pinned by
+    tests/test_parallel.py::test_pallas_dispatch_requires_no_mesh)."""
+    planar = getattr(env, "_planar", None)
+    backend = backend or jax.default_backend()
+    return (mesh is None and not autoreset
+            and planar is not None
+            and not planar.contacts_pt and not planar.contacts_cc
+            and planar.integrator == EULER
+            and num_traj % 1024 == 0
+            and backend not in ("cpu",)
+            and _never_terminates(env))
+
+
 def rollout_batch(env, policy, params, transforms, key, num_traj,
                   horizon=None, eval_mode=False, mesh=None,
                   autoreset=False):
@@ -72,14 +92,7 @@ def rollout_batch(env, policy, params, transforms, key, num_traj,
     # control-steps/s at 4096 envs — because the warm-started APGD dual
     # is matvec-dominated and the stacked path's dot_generals use the
     # MXU while in-kernel unrolled component math cannot.
-    planar = getattr(env, "_planar", None)
-    if (mesh is None and not autoreset
-            and planar is not None
-            and not planar.contacts_pt and not planar.contacts_cc
-            and planar.integrator == EULER
-            and num_traj % 1024 == 0
-            and jax.default_backend() not in ("cpu",)
-            and _never_terminates(env)):
+    if pallas_eligible(env, num_traj, mesh=mesh, autoreset=autoreset):
         from mjrl_tpu.ops.pallas_planar import rollout_batch_planar
         return rollout_batch_planar(env, policy, params, transforms, key,
                                     num_traj, horizon=T,

@@ -1,8 +1,12 @@
 """Secondary benchmark: wall-clock for Hopper-v3 NPG to reach reward 3000
 (BASELINE.md target: < 5 minutes on one TPU chip).
 
-Round-1 measurement: reached 3280 at iteration 34, 156 s wall-clock
-(warm compilation cache), config below.
+Round-3 config: the env default is now the MuJoCo-faithful implicit
+(newton) contact solver, step size 0.1 — the config whose trained
+policy cross-evaluates at 3285 inside real MuJoCo (full 1000-step
+episodes; docs/BENCHMARKS.md "Cross-simulator validation").  Round-3
+measurement: crossed 3000 at iteration 27, ~61 s wall-clock (warm
+compilation cache).
 
     python tools/bench_hopper.py
 """
@@ -36,7 +40,7 @@ def main(target=3000.0, max_iters=200):
                  init_log_std=-0.25)
     baseline = MLPBaseline(e.spec, reg_coef=1e-3, batch_size=64, epochs=2,
                            learn_rate=1e-3)
-    agent = NPG(e, policy, baseline, normalized_step_size=0.05, seed=123,
+    agent = NPG(e, policy, baseline, normalized_step_size=0.1, seed=123,
                 save_logs=True)
     t0 = time.time()
     reached = None

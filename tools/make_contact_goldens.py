@@ -81,9 +81,20 @@ def sample_ant(model, data, rng):
     data.ctrl[:] = rng.uniform(-1, 1, model.nu)
 
 
+def sample_humanoid(model, data, rng):
+    """Free-joint torso lowered until the feet load the floor (deep
+    two-leg contact states), joints jittered, tendons under tension."""
+    data.qpos[:] = model.qpos0
+    data.qpos[2] += rng.uniform(-0.22, -0.12)      # drop torso toward floor
+    data.qpos[7:] += rng.uniform(-0.15, 0.15, model.nq - 7)
+    data.qvel[:] = rng.uniform(-1.0, 1.0, model.nv)
+    data.ctrl[:] = rng.uniform(-0.4, 0.4, model.nu)
+
+
 if __name__ == "__main__":
     make("hopper", _gym_asset("hopper.xml"), sample_touchdown)
     make("walker2d", _gym_asset("walker2d.xml"), sample_touchdown)
     make("peg_insertion", os.path.join(REF, "peg_insertion.xml"),
          sample_peg)
     make("ant", _gym_asset("ant.xml"), sample_ant)
+    make("humanoid", _gym_asset("humanoid.xml"), sample_humanoid)

@@ -1,0 +1,178 @@
+"""Scripted relocate expert + demo generation (the reference pipeline's
+demo source: /root/reference/examples/behavior_clone.py:47-50 samples
+expert paths; the original DAPG project used human teleop demos —
+here a hand-crafted pick-and-place controller plays that role).
+
+The Adroit arm's position servos make a scripted expert natural: the
+action IS a target joint configuration.  The controller is a
+three-phase state machine in palm-relative coordinates:
+
+  reach: drive the palm to a hover point above the ball, fingers open
+  grasp: descend onto the ball and close fingers + thumb
+  lift : servo the palm (ball in hand) toward the target site
+
+The arm's slide joints map to world axes as palm_x ~ -ARTx,
+palm_y ~ +ARTz, palm_z ~ +ARTy (Jacobian at qpos0), so the reach/lift
+phases are resolved-rate control on three decoupled slides.  Actions
+are emitted in the env's normalized [-1, 1] space.
+
+    python tools/make_relocate_demos.py --episodes 25 --out demos.pkl
+"""
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+# actuator index blocks (XML order: arm 0-5, wrist 6-7, FF 8-11,
+# MF 12-15, RF 16-19, LF 20-24, thumb 25-29)
+ARTX, ARTY, ARTZ = 0, 1, 2
+WRIST = [6, 7]
+FINGER_FLEX = [9, 10, 11,       # A_FFJ2 A_FFJ1 A_FFJ0 (ctrlrange 0..1.6)
+               13, 14, 15,      # A_MFJ2 A_MFJ1 A_MFJ0
+               17, 18, 19,      # A_RFJ2 A_RFJ1 A_RFJ0
+               22, 23, 24]      # A_LFJ2 A_LFJ1 A_LFJ0
+FINGER_SPREAD = [8, 12, 16, 21]  # A_FFJ3 A_MFJ3 A_RFJ3 A_LFJ3 (abduction)
+LFJ4 = 20                        # little-finger CMC
+THUMB = [25, 26, 27, 28, 29]     # A_THJ4 A_THJ3 A_THJ2 A_THJ1 A_THJ0
+
+
+def norm_action(env, ctrl_targets):
+    """Absolute ctrl targets -> normalized [-1, 1] action."""
+    mid = np.asarray(env._act_mid)
+    rng = np.asarray(env._act_rng)
+    return np.clip((np.asarray(ctrl_targets) - mid) / np.maximum(rng, 1e-8),
+                   -1.0, 1.0)
+
+
+class ScriptedRelocateExpert:
+    """Stateless feedback controller: phase from time + obs."""
+
+    def __init__(self, env, hover=0.12, descend=0.035, grip=1.0,
+                 reach_T=35, grasp_T=35, close_T=18, seed=0):
+        self.env = env
+        self.hover = hover
+        self.descend = descend
+        self.grip = grip
+        self.reach_T = reach_T
+        self.grasp_T = grasp_T
+        self.close_T = close_T
+        self.rng = np.random.default_rng(seed)
+        self.noise = 0.0   # exploration noise scale in normalized units
+
+    def action(self, obs, qpos, t):
+        env = self.env
+        palm_obj = obs[30:33]       # palm - obj
+        palm_tgt = obs[33:36]       # palm - target
+        arm = np.array(qpos[:6])
+        ctrl = np.zeros(30)
+        ctrl[:6] = arm              # hold current arm pose by default
+
+        def servo_palm(delta, gain=1.0):
+            # palm_x ~ -ARTx, palm_y ~ +ARTz, palm_z ~ +ARTy
+            ctrl[ARTX] = arm[0] - gain * delta[0]
+            ctrl[ARTZ] = arm[2] + gain * delta[1]
+            ctrl[ARTY] = arm[1] + gain * delta[2]
+
+        if t < self.reach_T:
+            # hover above the ball, fingers open
+            delta = -palm_obj + np.array([0.0, 0.0, self.hover])
+            servo_palm(delta)
+            ctrl[FINGER_FLEX] = 0.1
+            ctrl[THUMB] = 0.0
+        elif t < self.reach_T + self.grasp_T:
+            # descend around the ball, then close the hand
+            delta = -palm_obj + np.array([0.0, 0.0, self.descend])
+            servo_palm(delta, gain=0.7)
+            closing = t >= self.reach_T + self.grasp_T - self.close_T
+            if closing:
+                ctrl[FINGER_FLEX] = self.grip * 1.4
+                ctrl[FINGER_SPREAD] = 0.0
+                ctrl[THUMB] = [1.0, 1.2, 0.25, 0.5, -1.2][:]
+            else:
+                ctrl[FINGER_FLEX] = 0.25
+                ctrl[THUMB] = [0.8, 0.0, 0.0, 0.0, 0.0][:]
+        else:
+            # lift toward the target, keep the grip
+            delta = -palm_tgt
+            servo_palm(delta, gain=0.55)
+            ctrl[FINGER_FLEX] = self.grip * 1.4
+            ctrl[FINGER_SPREAD] = 0.0
+            ctrl[THUMB] = [1.0, 1.2, 0.25, 0.5, -1.2][:]
+
+        a = norm_action(env, ctrl)
+        if self.noise > 0:
+            a = np.clip(a + self.noise * self.rng.standard_normal(30),
+                        -1, 1)
+        return a
+
+
+def run_episode(env, expert, key, horizon=200):
+    import jax
+    state = env.reset(key)
+    step = jax.jit(env.step)
+    obs_l, act_l, rew_l, goal_l, qpos_l = [], [], [], [], []
+    env_state0 = {k: np.asarray(v)
+                  for k, v in env.get_env_state(state).items()}
+    for t in range(horizon):
+        obs = np.asarray(state.obs)
+        qpos = np.asarray(state.physics.qpos)
+        a = expert.action(obs, qpos, t)
+        obs_l.append(obs)
+        act_l.append(a)
+        state = step(state, a)
+        rew_l.append(float(state.reward))
+        goal_l.append(bool(state.info["goal_achieved"]))
+        qpos_l.append(qpos)
+    return dict(observations=np.array(obs_l), actions=np.array(act_l),
+                rewards=np.array(rew_l),
+                env_infos={"goal_achieved": np.array(goal_l)},
+                init_state=env_state0,
+                terminated=False)
+
+
+def main():
+    import jax
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--episodes", type=int, default=25)
+    ap.add_argument("--horizon", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--noise", type=float, default=0.0)
+    args = ap.parse_args()
+
+    from mjrl_tpu.envs.adroit import AdroitRelocateEnv
+    env = AdroitRelocateEnv()
+    expert = ScriptedRelocateExpert(env, seed=args.seed)
+    expert.noise = args.noise
+
+    demos, succ = [], 0
+    for ep in range(args.episodes):
+        key = jax.random.PRNGKey(args.seed * 1000 + ep)
+        path = run_episode(env, expert, key, args.horizon)
+        ok = int(np.sum(path["env_infos"]["goal_achieved"]) > 25)
+        succ += ok
+        print(json.dumps({
+            "ep": ep, "return": round(float(path["rewards"].sum()), 1),
+            "goal_steps": int(np.sum(path["env_infos"]["goal_achieved"])),
+            "success": bool(ok)}), flush=True)
+        if ok:
+            demos.append(path)
+    print(json.dumps({"episodes": args.episodes, "successes": succ,
+                      "rate": round(100.0 * succ / args.episodes, 1)}),
+          flush=True)
+    if args.out and demos:
+        with open(args.out, "wb") as f:
+            pickle.dump(demos, f)
+        print(json.dumps({"saved": args.out, "demos": len(demos)}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
