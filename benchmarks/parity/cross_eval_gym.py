@@ -43,7 +43,15 @@ def main():
     args = ap.parse_args()
 
     import gymnasium
-    env = gymnasium.make(args.env)
+    kwargs = {}
+    if args.env.startswith("Humanoid"):
+        # Humanoid-v5 can drop the cinert/cvel/qfrc/cfrc obs blocks,
+        # matching our 45-d [qpos[2:], qvel] observation
+        kwargs = dict(include_cinert_in_observation=False,
+                      include_cvel_in_observation=False,
+                      include_qfrc_actuator_in_observation=False,
+                      include_cfrc_ext_in_observation=False)
+    env = gymnasium.make(args.env, **kwargs)
 
     with open(args.policy, "rb") as f:
         policy = pickle.load(f)

@@ -15,6 +15,15 @@ sys.path.insert(0, os.path.abspath(os.path.join(_HERE, "..", "..")))
 
 import numpy as np  # noqa: E402
 
+try:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.abspath(os.path.join(_HERE, "..", "..",
+                                                   ".jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 CONFIGS = {
     "point_mass": dict(env_id="mjrl_point_mass-v0", hidden=(32, 32),
                        niter=50, num_traj=40, step=0.05, gamma=0.95,

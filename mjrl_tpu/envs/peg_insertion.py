@@ -32,7 +32,12 @@ class PegEnv(MujocoLikeEnv):
         # per-control-step row freeze: peg contacts are quasi-static
         # (zero gravity, guided insertion) and its 474-pair row assembly
         # dominates a dynamics eval — the amortization is what makes the
-        # implicit solver faster than penalty here (docs/BENCHMARKS.md)
+        # implicit solver faster than penalty here (docs/BENCHMARKS.md).
+        # GATED, not just asserted: full frozen-config control steps
+        # match live MuJoCo to median 4.8e-9 qpos on the golden contact
+        # states, and the per-substep-rebuild path shows the SAME tail
+        # (tests/test_solver.py::
+        #  test_peg_frozen_rows_match_live_mujoco_control_steps)
         self.model = builder.finalize(dtype, solver=solver,
                                       row_freeze_step=True)
         self._init_body_pos = self.model.body_pos

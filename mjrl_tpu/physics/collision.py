@@ -167,7 +167,7 @@ def _capsule_capsule(a1, b1, r1, a2, b2, r2):
 # ---------------------------------------------------------------------------
 
 _GROUP_ORDER = ("plane_sphere", "plane_capsule", "box_sphere", "box_axis",
-                "capsule_sphere", "capsule_capsule")
+                "capsule_sphere", "capsule_capsule", "sphere_sphere")
 
 
 def _grouped_pairs(model: Model):
@@ -197,6 +197,11 @@ def _grouped_pairs(model: Model):
             groups["capsule_sphere"].append((a, b, pi))
         elif ta == CAPSULE and tb == CAPSULE:
             groups["capsule_capsule"].append((a, b, pi))
+        elif ta == SPHERE and tb == SPHERE:
+            # e.g. the gym humanoid's sphere feet against each other —
+            # missing this pair type was the deep two-leg golden tail
+            # (docs/ROADMAP.md item 9)
+            groups["sphere_sphere"].append((a, b, pi))
         # unsupported pairs (e.g. static box-box) are skipped
     return groups
 
@@ -298,6 +303,13 @@ def find_contacts(model: Model, data):
         d, p, n = _capsule_capsule(
             _sub(_pos(gx, i1), ax1), _add(_pos(gx, i1), ax1), size[i1, 0],
             _sub(_pos(gx, i2), ax2), _add(_pos(gx, i2), ax2), size[i2, 0])
+        out.append((d, p, n, i1, i2))
+    if groups["sphere_sphere"]:
+        i1 = idx(groups["sphere_sphere"], 0)
+        i2 = idx(groups["sphere_sphere"], 1)
+        c1, c2 = _pos(gx, i1), _pos(gx, i2)
+        d, p, n = _capsule_capsule(c1, c1, size[i1, 0],
+                                   c2, c2, size[i2, 0])
         out.append((d, p, n, i1, i2))
 
     if not out:

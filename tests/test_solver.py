@@ -153,10 +153,13 @@ def test_newton_matches_mujoco_on_contact_states(name, make_model):
         errs.append(np.abs(ours - g["qacc"][i]).max() / scale)
     errs = np.array(errs)
     assert np.median(errs) < 0.02, (np.median(errs), np.sort(errs)[-5:])
-    # humanoid's deep two-leg multi-contact states carry a known error
-    # tail (~4/25 states at 25-45%, docs/ROADMAP.md item 9); its p90
-    # gate is looser until that is resolved
-    p90_gate = 0.5 if name == "humanoid" else 0.12
+    # humanoid's deep two-leg states once sat at 25-45% error: the
+    # narrowphase had no sphere-sphere pair support, so the sphere feet
+    # never contacted EACH OTHER (docs/ROADMAP.md item 9, fixed round 3:
+    # median 0.4%, p90 9.5%, max 20% on the 40-state golden set).  The
+    # residual tail is deep multi-self-contact nonuniqueness; its p90
+    # gate keeps 2x headroom over the measured 0.095
+    p90_gate = 0.2 if name == "humanoid" else 0.12
     assert np.percentile(errs, 90) < p90_gate, np.sort(errs)[-5:]
 
 
@@ -209,3 +212,47 @@ def test_ant_settle_reaches_mujoco_fixed_point():
     ankles = np.asarray(s.qpos)[[8, 10, 12, 14]]
     np.testing.assert_allclose(np.abs(ankles), 0.5236, atol=0.01)
     assert float(jnp.abs(s.qvel).max()) < 0.01
+
+
+def test_peg_frozen_rows_match_live_mujoco_control_steps():
+    """The SHIPPED peg-insertion config (row_freeze_step=True: constraint
+    rows assembled once per control step, amortizing the 474-pair
+    narrowphase across frame_skip x RK4 stages) must still track live
+    MuJoCo over FULL control steps — the quasi-static justification in
+    envs/peg_insertion.py is gated here, not just asserted.  Measured on
+    the golden contact-active states: median qpos err 4.8e-9 / qvel
+    1.6e-7 (the freeze is exact wherever contact forces stay constant
+    through the step); a few high-velocity arm-swing states legitimately
+    diverge (max ~0.85), so the gates are medians, as in
+    test_planar_contact.test_control_step_matches_mujoco."""
+    mujoco = pytest.importorskip("mujoco")
+    path = os.path.join(GOLDEN, "contact_peg_insertion.npz")
+    if not os.path.exists(path):
+        pytest.skip("no golden contact_peg_insertion")
+    from mjrl_tpu.envs.assets import peg_insertion_model
+    from mjrl_tpu.envs.peg_insertion import PegEnv
+
+    g = np.load(path)
+    mm = mujoco.MjModel.from_xml_path(
+        "/root/reference/mjrl/envs/assets/peg_insertion.xml")
+    md = mujoco.MjData(mm)
+    env = PegEnv(dtype=jnp.float64)          # the shipped config
+    assert env.model.row_freeze_step         # gate the config itself
+    fs = env.frame_skip
+    stepper = jax.jit(lambda q, v, u: step_n(
+        env.model, State(qpos=q, qvel=v), u, fs))
+    qerr, verr = [], []
+    for i in range(len(g["qpos"])):
+        q, v, u = g["qpos"][i], g["qvel"][i], g["ctrl"][i]
+        md.qpos[:] = q
+        md.qvel[:] = v
+        md.ctrl[:] = u
+        for _ in range(fs):
+            mujoco.mj_step(mm, md)
+        s = stepper(jnp.asarray(q), jnp.asarray(v), jnp.asarray(u))
+        qerr.append(np.abs(np.asarray(s.qpos) - md.qpos).max())
+        verr.append(np.abs(np.asarray(s.qvel) - md.qvel).max())
+    assert np.median(qerr) < 1e-5, np.sort(qerr)[-5:]
+    assert np.median(verr) < 1e-4, np.sort(verr)[-5:]
+    # the tail must stay bounded (energy injection would blow past this)
+    assert np.percentile(qerr, 75) < 0.2, np.sort(qerr)[-12:]
