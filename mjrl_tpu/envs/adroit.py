@@ -39,7 +39,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from mjrl_tpu.envs.base import EnvState, MujocoLikeEnv
+from mjrl_tpu.envs.base import EnvState, MujocoLikeEnv, _rescue_divergence
 from mjrl_tpu.physics.kinematics import fwd_kinematics
 from mjrl_tpu.physics.model import State
 from mjrl_tpu.physics.step import step_n
@@ -147,6 +147,7 @@ class AdroitRelocateEnv(MujocoLikeEnv):
         ctrl = self._act_mid + action * self._act_rng
         model = self._patched_model(state.scenery)
         physics = step_n(model, state.physics, ctrl, self.frame_skip)
+        physics = _rescue_divergence(state.physics, physics)
         data = fwd_kinematics(model, physics.qpos)
         obj, palm, target = self._task_vectors(data)
         obs = jnp.concatenate([physics.qpos[:-6], palm - obj,

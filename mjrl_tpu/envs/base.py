@@ -32,6 +32,32 @@ from mjrl_tpu.physics.model import Model, State
 from mjrl_tpu.physics.step import step_n
 
 
+# MuJoCo's engine_util_errmem mjMAXVAL: any |qpos|/|qvel| beyond this (or
+# non-finite) triggers mj_warning + a state reset instead of propagating
+# garbage (mujoco checks it in mj_checkPos/mj_checkVel each step).
+_MJ_MAXVAL = 1e10
+
+
+def _rescue_divergence(old: "State", new: "State") -> "State":
+    """MuJoCo-parity divergence rescue for one control step.
+
+    Real MuJoCo never hands NaN to the learner: mj_checkPos/mj_checkVel
+    reset the simulation on non-finite or >mjMAXVAL state, so the
+    reference's training loop (mujoco_env.py:120-126) always sees finite
+    observations even under a destabilizing policy.  Without this, one
+    exploded trajectory poisons a whole NPG update with NaN advantages
+    and the policy never recovers (observed: peg-insertion NPG diverged
+    at iter 18 and logged NaN for the remaining 82 iterations).  We keep
+    the pre-step qpos and zero qvel (an emergency brake) rather than
+    resetting to qpos0 — same finiteness guarantee, no reset-state
+    plumbing through jit.
+    """
+    ok = jnp.all(jnp.isfinite(new.qpos) & (jnp.abs(new.qpos) < _MJ_MAXVAL)) \
+        & jnp.all(jnp.isfinite(new.qvel) & (jnp.abs(new.qvel) < _MJ_MAXVAL))
+    return State(qpos=jnp.where(ok, new.qpos, old.qpos),
+                 qvel=jnp.where(ok, new.qvel, jnp.zeros_like(new.qvel)))
+
+
 @dataclass(frozen=True)
 class EnvSpec:
     """Matches the reference EnvSpec (gym_env.py:9-13)."""
@@ -129,6 +155,7 @@ class MujocoLikeEnv:
             physics = State(qpos=qpos, qvel=qvel)
         else:
             physics = step_n(model, state.physics, action, self.frame_skip)
+        physics = _rescue_divergence(state.physics, physics)
         data = fwd_kinematics(model, physics.qpos) if self.needs_fk_obs \
             else None
         obs = self._obs(data, state.scenery, physics)

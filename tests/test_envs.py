@@ -153,6 +153,34 @@ def test_peg_env_runs():
         < 1e-6
 
 
+def test_divergence_rescue_keeps_state_finite():
+    """MuJoCo resets the sim on non-finite / >mjMAXVAL state
+    (mj_checkPos/mj_checkVel) so learners never see NaN observations;
+    our step applies the same rescue (envs/base.py _rescue_divergence):
+    pre-step qpos is kept and qvel zeroed."""
+    env = PegEnv()
+    state = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    state = step(state, jnp.zeros(7))
+    qpos_before = np.asarray(state.physics.qpos).copy()
+
+    # poison the carry: NaN qvel propagates NaN through the whole solve
+    bad = state.replace(physics=state.physics.replace(
+        qvel=jnp.full_like(state.physics.qvel, jnp.nan)))
+    out = step(bad, jnp.ones(7))
+    assert np.all(np.isfinite(np.asarray(out.physics.qpos)))
+    assert np.all(np.asarray(out.physics.qvel) == 0.0)
+    np.testing.assert_allclose(np.asarray(out.physics.qpos), qpos_before)
+    assert np.all(np.isfinite(np.asarray(out.obs)))
+
+    # overflow (finite but past mjMAXVAL) is rescued too
+    big = state.replace(physics=state.physics.replace(
+        qvel=jnp.full_like(state.physics.qvel, 1e12)))
+    out2 = step(big, jnp.zeros(7))
+    assert np.all(np.isfinite(np.asarray(out2.physics.qpos)))
+    assert np.all(np.abs(np.asarray(out2.physics.qpos)) < 1e10)
+
+
 def test_point_mass_path_reward_shift():
     env = PointMassEnv()
     obs = jnp.asarray(np.random.RandomState(0).randn(3, 5, 6), jnp.float32)

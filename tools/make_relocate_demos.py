@@ -113,10 +113,22 @@ class ScriptedRelocateExpert:
         return a
 
 
-def run_episode(env, expert, key, horizon=200):
+_STEP_CACHE = {}
+
+
+def _jitted_step(env):
+    """One traced step per env instance (re-jitting per episode would
+    re-trace the 36-dof contact model every time)."""
     import jax
+    fn = _STEP_CACHE.get(id(env))
+    if fn is None:
+        fn = _STEP_CACHE[id(env)] = jax.jit(env.step)
+    return fn
+
+
+def run_episode(env, expert, key, horizon=200):
     state = env.reset(key)
-    step = jax.jit(env.step)
+    step = _jitted_step(env)
     obs_l, act_l, rew_l, goal_l, qpos_l = [], [], [], [], []
     env_state0 = {k: np.asarray(v)
                   for k, v in env.get_env_state(state).items()}
@@ -137,8 +149,51 @@ def run_episode(env, expert, key, horizon=200):
                 terminated=False)
 
 
+def run_batch(env, expert, keys, horizon=200):
+    """All episodes in lockstep: ONE vmapped jitted step per control
+    step (one compile total) instead of per-episode host loops — the
+    36-dof Adroit model's remote-compile cost made sequential episodes
+    impractical on the axon tunnel."""
+    import jax
+    import jax.numpy as jnp
+    B = len(keys)
+    state = jax.jit(jax.vmap(env.reset))(jnp.stack(keys))
+    step_b = jax.jit(jax.vmap(env.step))
+    es0 = {k: np.asarray(v) for k, v in env.get_env_state(state).items()}
+    obs_l, act_l, rew_l, goal_l = [], [], [], []
+    for t in range(horizon):
+        obs = np.asarray(state.obs)
+        qpos = np.asarray(state.physics.qpos)
+        acts = np.stack([expert.action(obs[b], qpos[b], t)
+                         for b in range(B)])
+        obs_l.append(obs)
+        act_l.append(acts)
+        state = step_b(state, jnp.asarray(acts))
+        rew_l.append(np.asarray(state.reward))
+        goal_l.append(np.asarray(state.info["goal_achieved"]))
+    obs_a = np.stack(obs_l, 1)         # (B, T, ...)
+    act_a = np.stack(act_l, 1)
+    rew_a = np.stack(rew_l, 1)
+    goal_a = np.stack(goal_l, 1)
+    out = []
+    for b in range(B):
+        out.append(dict(
+            observations=obs_a[b], actions=act_a[b], rewards=rew_a[b],
+            env_infos={"goal_achieved": goal_a[b]},
+            init_state={k: v[b] for k, v in es0.items()},
+            terminated=False))
+    return out
+
+
 def main():
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), "..",
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     ap = argparse.ArgumentParser()
     ap.add_argument("--episodes", type=int, default=25)
     ap.add_argument("--horizon", type=int, default=200)
@@ -152,10 +207,11 @@ def main():
     expert = ScriptedRelocateExpert(env, seed=args.seed)
     expert.noise = args.noise
 
+    keys = [jax.random.PRNGKey(args.seed * 1000 + ep)
+            for ep in range(args.episodes)]
+    paths = run_batch(env, expert, keys, args.horizon)
     demos, succ = [], 0
-    for ep in range(args.episodes):
-        key = jax.random.PRNGKey(args.seed * 1000 + ep)
-        path = run_episode(env, expert, key, args.horizon)
+    for ep, path in enumerate(paths):
         ok = int(np.sum(path["env_infos"]["goal_achieved"]) > 25)
         succ += ok
         print(json.dumps({
