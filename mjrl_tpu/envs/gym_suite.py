@@ -63,10 +63,15 @@ class _GymMujocoEnv(MujocoLikeEnv):
     # 3094->1188 and penalty ant 12330->-338).
     default_solver = "penalty"
 
-    def __init__(self, dtype=jnp.float32, solver=None):
+    def __init__(self, dtype=jnp.float32, solver=None, cone=None):
         solver = solver or self.default_solver
         from mjrl_tpu.physics.mjcf import load_mjcf
         builder = load_mjcf(_gym_asset(self.xml_name))
+        if cone is not None:
+            from mjrl_tpu.physics.model import ELLIPTIC, PYRAMIDAL
+            builder.opt["cone"] = (ELLIPTIC
+                                   if str(cone).lower() == "elliptic"
+                                   else PYRAMIDAL)
         self.model = builder.finalize(dtype, solver=solver)
         self.dtype = dtype
         # MuJoCo init_qpos = qpos0 (free joints: body pose; else jnt ref)

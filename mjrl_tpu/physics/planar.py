@@ -34,7 +34,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mjrl_tpu.physics.model import EULER, HINGE, PGS, SLIDE, Model
+from mjrl_tpu.physics.model import (ELLIPTIC as ELLIPTIC_CONE, EULER,
+                                    HINGE, PGS, SLIDE, Model)
 
 
 class PlanarParams(NamedTuple):
@@ -88,6 +89,12 @@ class PlanarParams(NamedTuple):
     # capsule-capsule pairs (2D closest point):
     # (bA, pA0 (2,), pA1 (2,), rA, bB, pB0, pB1, rB, k, b, solimp, mu, iw)
     contacts_cc: Tuple = ()
+    # friction-cone type (model.cone): PYRAMIDAL=0 emits 4 facet rows
+    # per contact; ELLIPTIC=1 emits the [n, t1, t2] triple block with a
+    # second-order-cone dual projection (t2 is the out-of-plane tangent,
+    # a structurally zero row kept for regularizer/preconditioner parity
+    # with the 3D engine — see _constraint_rows_comp)
+    cone: int = 0
 
 
 def extract_planar(model: Model):
@@ -107,8 +114,7 @@ def extract_planar(model: Model):
     from mjrl_tpu.physics.model import (CAPSULE, PLANE, RK4, SPHERE)
     if model.solver != PGS or model.integrator not in (EULER, RK4):
         return None
-    if getattr(model, "cone", 0) != 0:
-        return None      # elliptic cone: general engine only
+    cone = int(getattr(model, "cone", 0))
     if model.nq != model.nv or model.nbody < 2 or model.ntendon \
             or model.neq:
         return None
@@ -391,7 +397,8 @@ def extract_planar(model: Model):
         ax1=int(ax1), ax2=int(ax2),
         integrator=int(model.integrator),
         contacts_pt=tuple(contacts_pt),
-        contacts_cc=tuple(contacts_cc))
+        contacts_cc=tuple(contacts_cc),
+        cone=cone)
 
 
 # ---------------------------------------------------------------------------
@@ -828,11 +835,21 @@ def _constraint_rows_comp(p: PlanarParams, ctx, q, v):
                 out.append(zero)
         return out
 
+    ell = []   # elliptic triples: (jn, jt, aref_n, brow, act, reg_e)
+
     def add_contact(jn, jt, depth, kc, bc, si, mu, iw):
         imp = _impedance_scalar(si, jnp.maximum(depth, 0.0))
         act = (depth > 0).astype(q[0].dtype)
         aref = kc * imp * depth
         brow = bc * one
+        if p.cone == ELLIPTIC_CONE:
+            # [n, t1, t2] triple sharing the normal row's regularizer
+            # (solver.py constraint_rows elliptic branch); rows are
+            # flushed after the contact loops in BLOCK order
+            # [n(K), t1(K), t2(K)] to mirror solver._soc_layout
+            reg_e = jnp.maximum((1.0 - imp) / imp * iw, 1e-12)
+            ell.append((jn, jt, aref, brow, act, reg_e))
+            return
         reg = jnp.maximum((1.0 - imp) / imp
                           * (iw * 2.0 * mu * mu * (1.0 + mu * mu)), 1e-12)
         for jrow in (jn, jn,
@@ -878,6 +895,23 @@ def _constraint_rows_comp(p: PlanarParams, ctx, q, v):
         jt = [jtB[d] - jtA[d] for d in range(nv)]
         add_contact(jn, jt, depth, kc, bc, si, mu, iw)
 
+    if ell:
+        # block order [n(K), t1(K), t2(K)]; t2 (the out-of-plane
+        # tangent) has an identically-zero Jacobian in planar motion but
+        # is kept so the triple's shared tangent preconditioner scale
+        # sqrt(ds_t1 * ds_t2) matches the 3D engine's exactly
+        zrow = [zero] * nv
+        zaref = jnp.zeros_like(q[0])
+        for jn, _jt, aref, brow, act, reg_e in ell:
+            rows.append(jn); arefs.append(aref); brows.append(brow)
+            actives.append(act); regs.append(reg_e)
+        for _jn, jt, _aref, brow, act, reg_e in ell:
+            rows.append(jt); arefs.append(zaref); brows.append(brow)
+            actives.append(act); regs.append(reg_e)
+        for _jn, _jt, _aref, brow, act, reg_e in ell:
+            rows.append(zrow); arefs.append(zaref); brows.append(brow)
+            actives.append(act); regs.append(reg_e)
+
     return rows, arefs, brows, actives, regs, zero
 
 
@@ -893,7 +927,21 @@ def _constraint_rows_planar(p: PlanarParams, ctx, q, v):
 
 def n_planar_rows(p: PlanarParams):
     n_lim = sum(1 for d in range(p.nv) if p.limited[d])
-    return n_lim + 4 * (len(p.contacts_pt) + len(p.contacts_cc))
+    per = 3 if p.cone == ELLIPTIC_CONE else 4
+    return n_lim + per * (len(p.contacts_pt) + len(p.contacts_cc))
+
+
+def _planar_soc(p: PlanarParams):
+    """(st, K, mu tuple) of the elliptic triple block, or None."""
+    if p.cone != ELLIPTIC_CONE:
+        return None
+    K = len(p.contacts_pt) + len(p.contacts_cc)
+    if not K:
+        return None
+    st = sum(1 for d in range(p.nv) if p.limited[d])
+    mus = tuple(float(c[8]) for c in p.contacts_pt) \
+        + tuple(float(c[11]) for c in p.contacts_cc)
+    return st, K, mus
 
 
 # ---------------------------------------------------------------------------
@@ -961,11 +1009,18 @@ def _m_matvec_comp(m, x, nv):
 
 
 def _solve_qacc_comp(low, a0, rows, aref, active, reg, lam0, sweeps,
-                     zero):
+                     zero, soc=None):
     """Component mirror of solver.solve_qacc (diag-preconditioned APGD
     on the regularized dual, power-iteration Lipschitz, adaptive
     restart).  Loops run as lax.fori_loop with tuple-of-scalar carries,
-    which lowers both under vmap and inside Pallas kernels."""
+    which lowers both under vmap and inside Pallas kernels.
+
+    ``soc=(st, K, mus)``: elliptic contact triples [n(K), t1(K), t2(K)]
+    starting at row st — mirrors solver.solve_qacc's SOC handling: the
+    tangent pair shares one preconditioner scale sqrt(ds_t1 * ds_t2),
+    the cone opening becomes mu' = mu * ds_t / ds_n, and the projection
+    is the closed-form second-order-cone projection instead of the
+    componentwise nonneg clamp."""
     from mjrl_tpu.physics.solver import POWER_ITERS
     C = len(rows)
     nv = len(a0)
@@ -973,6 +1028,14 @@ def _solve_qacc_comp(low, a0, rows, aref, active, reg, lam0, sweeps,
     diag = [_row_dot(rows[r], minv_jt[r], zero) for r in range(C)]
     ds = [jnp.sqrt(jnp.maximum(diag[r] + reg[r], 1e-12))
           for r in range(C)]
+    if soc is not None:
+        st, K, mus = soc
+        mu_g = []
+        for k in range(K):
+            ds_t = jnp.sqrt(ds[st + K + k] * ds[st + 2 * K + k])
+            ds[st + K + k] = ds_t
+            ds[st + 2 * K + k] = ds_t
+            mu_g.append(mus[k] * ds_t / ds[st + k])
 
     def op(v):
         u = [v[r] / ds[r] for r in range(C)]
@@ -1003,11 +1066,40 @@ def _solve_qacc_comp(low, a0, rows, aref, active, reg, lam0, sweeps,
            for r in range(C)]
     mu0 = tuple(lam0[r] * active[r] * ds[r] for r in range(C))
 
+    def project(zs):
+        """Nonneg clamp, except elliptic triples which pass through to
+        the closed-form SOC projection (a negative normal iterate can
+        still project to a nonzero impulse)."""
+        if soc is None:
+            return tuple(jnp.maximum(zs[r], 0.0) * active[r]
+                         for r in range(C))
+        st, K, _ = soc
+        tri = set(range(st, st + 3 * K))
+        out = [jnp.maximum(zs[r], 0.0) if r not in tri else zs[r]
+               for r in range(C)]
+        for k in range(K):
+            n_i = out[st + k]
+            t1_i = out[st + K + k]
+            t2_i = out[st + 2 * K + k]
+            s = jnp.sqrt(t1_i * t1_i + t2_i * t2_i)
+            mg = mu_g[k]
+            inside = s <= mg * n_i
+            below = mg * s <= -n_i
+            c = (mg * s + n_i) / (1.0 + mg * mg)
+            out[st + k] = jnp.where(inside, n_i,
+                                    jnp.where(below, 0.0, c))
+            tsc = jnp.where(inside, 1.0,
+                            jnp.where(below, 0.0,
+                                      mg * c / jnp.maximum(s, 1e-30)))
+            out[st + K + k] = t1_i * tsc
+            out[st + 2 * K + k] = t2_i * tsc
+        return tuple(out[r] * active[r] for r in range(C))
+
     def apgd_body(_, carry):
         mu, y, t = carry
         g = op(list(y))
-        mu_new = tuple(jnp.maximum(y[r] - (g[r] - rhs[r]) / el, 0.0)
-                       * active[r] for r in range(C))
+        mu_new = project(tuple(y[r] - (g[r] - rhs[r]) / el
+                               for r in range(C)))
         restart = sum((y[r] - mu_new[r]) * (mu_new[r] - mu[r])
                       for r in range(C)) > 0
         t = jnp.where(restart, 1.0, t)
@@ -1040,7 +1132,7 @@ def _contact_qacc_comp(p: PlanarParams, q, v, u, lam0, sweeps):
     aref = [aref_pos[r] - brows[r] * _row_dot(rows[r], v, zero)
             for r in range(len(rows))]
     qacc, lam = _solve_qacc_comp(low, a0, rows, aref, actives, regs,
-                                 lam0, sweeps, zero)
+                                 lam0, sweeps, zero, soc=_planar_soc(p))
     return qacc, a0, lam, m, qfrc
 
 
@@ -1112,8 +1204,16 @@ def _contact_qacc(p: PlanarParams, qpos, qvel, ctrl, lam0, sweeps):
     a0 = chol_solve_unrolled(M, qf)
     J, aref_pos, brow, active, reg = _constraint_rows_planar(p, ctx, q, v)
     aref = aref_pos - brow * (J @ qvel)
+    soc_p = _planar_soc(p)
+    lo = None
+    soc = None
+    if soc_p is not None:
+        st, K, mus = soc_p
+        lo = jnp.zeros((J.shape[0],), qpos.dtype)
+        lo = lo.at[st:st + 3 * K].set(-jnp.inf)
+        soc = (st, K, jnp.asarray(mus, qpos.dtype))
     qacc, lam = solve_qacc(M, a0, J, aref, active, reg, lam0,
-                           sweeps=sweeps)
+                           sweeps=sweeps, lo=lo, soc=soc)
     return qacc, a0, lam, M, qf
 
 

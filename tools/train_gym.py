@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--env", default="Walker2d-v3")
     ap.add_argument("--solver", default=None,
                     help="penalty | pgs (env default when omitted)")
+    ap.add_argument("--cone", default=None,
+                    help="pyramidal | elliptic friction cone "
+                         "(model default when omitted)")
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--ntraj", type=int, default=100)
     ap.add_argument("--horizon", type=int, default=1000)
@@ -51,6 +54,8 @@ def main():
     args = ap.parse_args()
 
     kw = {"solver": args.solver} if args.solver else {}
+    if args.cone:
+        kw["cone"] = args.cone
     e = GymEnv(args.env, env_kwargs=kw)
     policy = MLP(e.spec, hidden_sizes=tuple(args.hidden), seed=args.seed,
                  init_log_std=args.init_log_std)
@@ -74,6 +79,7 @@ def main():
               flush=True)
     print(json.dumps({
         "env": args.env, "solver": args.solver or "default",
+        "cone": args.cone or "default",
         "final_return": round(float(stats[0]), 1),
         "best_return": round(best, 1),
         "iters": args.iters,
