@@ -52,7 +52,8 @@ from mjrl_tpu.physics.collision import (contact_geom_ids,
 from mjrl_tpu.physics.dynamics import (ancestor_mask, ball_limit_terms,
                                        equality_terms)
 from mjrl_tpu.physics.model import BALL, ELLIPTIC, Model
-from mjrl_tpu.ops.linalg import chol_solve_unrolled
+from mjrl_tpu.ops.linalg import (chol_solve_unrolled, spd_solve,
+                                 spd_solve_rows)
 
 SWEEPS = 50      # APGD iterations for a cold (zero-impulse) solve
 SWEEPS_WARM = 15  # iterations when warm-started from the previous substep
@@ -446,7 +447,11 @@ def solve_qacc(m, a0, j, aref, active, r, lam0, sweeps=SWEEPS, lo=None,
     # solves batch over rows.  (Tried: explicit chol inverse + j @ minv
     # matmul — 10x SLOWER under vmap; the (B, C, nv) @ (B, nv, nv)
     # batched matmul pads nv to 128 MXU lanes per env.)
-    minv_jt = jax.vmap(lambda row: chol_solve_unrolled(m, row))(j)  # (C,nv)
+    # (spd_solve_rows: large-nv models take ONE native Cholesky factor
+    # + batched triangular solves instead of nv^3/6 unrolled ops — the
+    # 36-dof Adroit step otherwise lowers to 13.5M HLO chars and the
+    # TPU compile never lands)
+    minv_jt = spd_solve_rows(m, j)                                  # (C,nv)
     diag = jnp.sum(j * minv_jt, axis=-1)
     ds = jnp.sqrt(jnp.maximum(diag + r, 1e-12))
     if soc is not None:
@@ -524,8 +529,18 @@ def solve_qacc(m, a0, j, aref, active, r, lam0, sweeps=SWEEPS, lo=None,
         y = y_base + mom * (mu_new - mu)
         return (mu_new, y, t_new), ()
 
-    (mu, _, _), _ = jax.lax.scan(
-        apgd, (mu0, mu0, jnp.ones((), a0.dtype)), None, length=sweeps)
+    if isinstance(sweeps, int):
+        # static trip count: keep the scan (bit- and HLO-identical to
+        # the historical path — the planar fast path and all goldens
+        # ride this)
+        (mu, _, _), _ = jax.lax.scan(
+            apgd, (mu0, mu0, jnp.ones((), a0.dtype)), None, length=sweeps)
+    else:
+        # traced trip count (step_n's unified cold/warm substep body —
+        # halves the traced program for big general-engine models)
+        mu, _, _ = jax.lax.fori_loop(
+            0, sweeps, lambda _, c: apgd(c, None)[0],
+            (mu0, mu0, jnp.ones((), a0.dtype)))
     lam = mu / ds
     return a0 + minv_jt.T @ lam, lam
 
@@ -549,7 +564,7 @@ def constrained_qacc(model: Model, data, cdof, qpos, qvel, m,
     earlier evaluation, with only the velocity part of aref recomputed
     — the row-assembly amortization for RK4 models whose 16 dynamics
     evaluations per control step dominate (step.py threads it)."""
-    a0 = chol_solve_unrolled(m, qfrc_minus_bias)
+    a0 = spd_solve(m, qfrc_minus_bias)
     if ctx is None:
         ctx = constraint_rows(model, data, cdof, qpos, qvel)
     j, aref_pos, b_row, active, r, lo, soc_mu, slot_ids = ctx

@@ -221,19 +221,32 @@ def step_n(model: Model, state: State, ctrl, n: int):
         # with row_freeze_step=True (quasi-static contacts, e.g. peg:
         # row assembly is ~80% of a dynamics eval over 474 pairs) freeze
         # the substep-0 rows across the WHOLE control step.
-        state, warm, rows = step_warm(model, state, ctrl, None, None)
+        if not model.row_freeze_step:
+            # rows rebuilt per substep (Euler always; RK4 default).
+            # ONE scanned body serves both the cold substep (full
+            # iteration budget) and the warm ones: sweeps is a TRACED
+            # where(i == 0, ...) so the substep program is emitted once
+            # instead of twice — at adroit scale (nv=36, 103 pairs) the
+            # two-body trace was 8M HLO chars and the TPU compile never
+            # landed.  Cold start = zero impulses with a sentinel slot
+            # id (-2 never occurs: real ids are -1 or >=0), numerically
+            # identical to the old warm=None path.
+            from mjrl_tpu.physics.solver import SWEEPS, n_constraint_rows
+            C = n_constraint_rows(model)
+            warm0 = (jnp.zeros((C,), state.qvel.dtype),
+                     jnp.full((C,), -2, jnp.int32))
 
-        if rows is None or not model.row_freeze_step:
-            # rows rebuilt per substep (Euler always; RK4 default)
-            def body(carry, _):
+            def body(carry, i):
                 s, w = carry
-                s2, w2, _ = step_warm(model, s, ctrl, w,
-                                      sweeps=SWEEPS_WARM)
+                sw = jnp.where(i == 0, SWEEPS, SWEEPS_WARM)
+                s2, w2, _ = step_warm(model, s, ctrl, w, sweeps=sw)
                 return (s2, w2), ()
 
-            (out, _), _ = jax.lax.scan(body, (state, warm), None,
-                                       length=n - 1)
+            (out, _), _ = jax.lax.scan(body, (state, warm0),
+                                       jnp.arange(n))
             return out
+
+        state, warm, rows = step_warm(model, state, ctrl, None, None)
 
         def body(carry, _):
             s, w, r = carry
