@@ -55,7 +55,7 @@ class ScriptedRelocateExpert:
     """Stateless feedback controller: phase from time + obs."""
 
     def __init__(self, env, hover=0.12, descend=0.035, grip=1.0,
-                 reach_T=35, grasp_T=35, close_T=18, seed=0):
+                 reach_T=60, grasp_T=50, close_T=20, seed=0):
         self.env = env
         self.hover = hover
         self.descend = descend
@@ -72,24 +72,47 @@ class ScriptedRelocateExpert:
         palm_tgt = obs[33:36]       # palm - target
         arm = np.array(qpos[:6])
         ctrl = np.zeros(30)
-        ctrl[:6] = arm              # hold current arm pose by default
+        ctrl[:3] = arm[:3]          # slides: servo from current position
+        # arm rotations (dofs 3-5) are PINNED to the zero reference —
+        # "hold current" position targets integrate gravity sag into
+        # drift (observed: ARRy wandered to 1.05 rad and broke the
+        # slide->palm axis mapping, stalling the reach at |palm-obj|~0.3)
+        ctrl[3:6] = 0.0
 
-        def servo_palm(delta, gain=1.0):
-            # palm_x ~ -ARTx, palm_y ~ +ARTz, palm_z ~ +ARTy
-            ctrl[ARTX] = arm[0] - gain * delta[0]
-            ctrl[ARTZ] = arm[2] + gain * delta[1]
-            ctrl[ARTY] = arm[1] + gain * delta[2]
+        def servo_palm(delta, gain=1.0, rate=0.035):
+            # palm_x ~ -ARTx, palm_y ~ +ARTz, palm_z ~ +ARTy.  The
+            # per-step target increment is RATE-LIMITED: unclamped
+            # position-servo targets made the palm overshoot through the
+            # hover point and punt the ball off the table (observed:
+            # |palm-obj| 0.425 -> 0.059 by t=30, ball flung 2.5 m).
+            # The arm actuators are affine with gainprm=500 /
+            # biasprm=(0,-200,0) (adroit_relocate.xml): force =
+            # 500 ctrl - 200 qpos, i.e. the equilibrium position is
+            # 2.5x ctrl — so the desired joint position must be scaled
+            # by 200/500 = 0.4 when written into ctrl.  (The wrist and
+            # finger actuators are unit-gain position servos; their
+            # targets below ARE joint positions.)
+            d = np.clip(gain * np.asarray(delta), -rate, rate)
+            ctrl[ARTX] = 0.4 * (arm[0] - d[0])
+            ctrl[ARTZ] = 0.4 * (arm[2] + d[1])
+            ctrl[ARTY] = 0.4 * (arm[1] + d[2])
 
+        xy_err = float(np.hypot(palm_obj[0], palm_obj[1]))
         if t < self.reach_T:
-            # hover above the ball, fingers open
+            # phase 1: align ABOVE the ball (xy first, then let z come
+            # down to the hover height) with fingers open — descending
+            # while laterally offset knocks the ball away
             delta = -palm_obj + np.array([0.0, 0.0, self.hover])
+            if xy_err > 0.04:
+                delta[2] = max(delta[2], 0.0)   # don't descend yet
             servo_palm(delta)
             ctrl[FINGER_FLEX] = 0.1
             ctrl[THUMB] = 0.0
         elif t < self.reach_T + self.grasp_T:
-            # descend around the ball, then close the hand
+            # phase 2: vertical descend around the ball (xy frozen
+            # unless drifting), then close fingers + thumb
             delta = -palm_obj + np.array([0.0, 0.0, self.descend])
-            servo_palm(delta, gain=0.7)
+            servo_palm(delta, gain=0.7, rate=0.02)
             closing = t >= self.reach_T + self.grasp_T - self.close_T
             if closing:
                 ctrl[FINGER_FLEX] = self.grip * 1.4
@@ -99,9 +122,9 @@ class ScriptedRelocateExpert:
                 ctrl[FINGER_FLEX] = 0.25
                 ctrl[THUMB] = [0.8, 0.0, 0.0, 0.0, 0.0][:]
         else:
-            # lift toward the target, keep the grip
+            # phase 3: lift toward the target, keep the grip
             delta = -palm_tgt
-            servo_palm(delta, gain=0.55)
+            servo_palm(delta, gain=0.55, rate=0.03)
             ctrl[FINGER_FLEX] = self.grip * 1.4
             ctrl[FINGER_SPREAD] = 0.0
             ctrl[THUMB] = [1.0, 1.2, 0.25, 0.5, -1.2][:]
