@@ -21,16 +21,16 @@ Semantics follow the gym v3 task definitions:
   gym env additionally subtracts a small contact cost); terminate when
   z leaves (0.2, 1.0).
 
-Solver defaults are per env (``default_solver``): Hopper, Walker2d,
-HalfCheetah and Ant use the implicit soft-constraint solver
-(physics/solver.py, contact qacc <=2% vs MuJoCo goldens) — each flip
-is validated by LEARNING + cross-simulator transfer: policies trained
-under newton score as well or better when rolled inside real MuJoCo
-(docs/BENCHMARKS.md "Cross-simulator validation": Hopper 3196 -> 3285,
-Ant 2582 -> 3041), while penalty-trained policies collapse there
-(Ant 12330 -> -338).  Humanoid stays on penalty pending a validated
-newton training config.  Pass ``solver="newton"``/"penalty" to
-override.
+Solver defaults are per env (``default_solver``): the whole
+locomotion suite — Hopper, Walker2d, HalfCheetah, Ant and Humanoid —
+uses the implicit soft-constraint solver (physics/solver.py, contact
+qacc <=2% vs MuJoCo goldens) — each flip is validated by LEARNING +
+cross-simulator transfer: policies trained under newton score as well
+or better when rolled inside real MuJoCo (docs/BENCHMARKS.md
+"Cross-simulator validation": Hopper 3196 -> 3285, Ant 2582 -> 3041,
+Humanoid 442 -> 499), while penalty-trained policies collapse or
+degrade there (Ant 12330 -> -338, Humanoid 584 -> 310).  Pass
+``solver="newton"``/"penalty" to override.
 """
 
 import os
@@ -206,8 +206,15 @@ class HumanoidEnv(_GymMujocoEnv):
     reward = healthy(5) + 1.25 x-velocity - 0.1 |a|^2; terminate when z
     leaves (1.0, 2.0).  Forward velocity is measured at the root joint
     (the gym env uses the whole-model center of mass — small documented
-    deviation)."""
+    deviation).
+
+    Defaults to the implicit solver (flipped round 3): the NPG policy
+    trained under it (step 0.05, init_log_std -0.5, 150 iters, 442
+    in-sim) transfers to 499 +- 48 in real MuJoCo, while the
+    penalty-trained arm (584 in-sim) drops to 310 there —
+    docs/BENCHMARKS.md cross-eval table."""
     xml_name = "humanoid.xml"
+    default_solver = "newton"
     observation_dim = 45
     frame_skip = 5
     horizon = 1000

@@ -52,21 +52,35 @@ def norm_action(env, ctrl_targets):
 
 
 class ScriptedRelocateExpert:
-    """Stateless feedback controller: phase from time + obs."""
+    """Condition-driven feedback controller (per-episode phase progress
+    is the only state, keyed by batch index so lockstep batches work).
 
-    def __init__(self, env, hover=0.12, descend=0.035, grip=1.0,
-                 reach_T=60, grasp_T=50, close_T=20, seed=0):
+    The arm slides are position servos with a first-order tracking lag:
+    commanding a target ``d`` ahead of the current position moves the
+    palm only ~0.066 d per control step (measured).  Time-scheduled
+    phases therefore expired long before the palm arrived (the round-3
+    0/30 demo failure) — phases now advance on REACHED CONDITIONS, and
+    the per-step lookahead ``rate`` adapts to distance: large when far
+    (speed), small near the ball (no punting — unclamped targets flung
+    the ball 2.5 m in an earlier iteration)."""
+
+    CLOSE_T = 22   # steps to hold still while the fingers wrap
+
+    def __init__(self, env, hover=0.09, descend=0.035, grip=1.0, seed=0):
         self.env = env
         self.hover = hover
         self.descend = descend
         self.grip = grip
-        self.reach_T = reach_T
-        self.grasp_T = grasp_T
-        self.close_T = close_T
         self.rng = np.random.default_rng(seed)
         self.noise = 0.0   # exploration noise scale in normalized units
+        self._closing = {}   # batch index -> steps since grasp close began
+        self._integ = {}     # batch index -> integral bias (palm frame)
 
-    def action(self, obs, qpos, t):
+    def reset(self):
+        self._closing = {}
+        self._integ = {}
+
+    def action(self, obs, qpos, t, b=0):
         env = self.env
         palm_obj = obs[30:33]       # palm - obj
         palm_tgt = obs[33:36]       # palm - target
@@ -79,55 +93,72 @@ class ScriptedRelocateExpert:
         # slide->palm axis mapping, stalling the reach at |palm-obj|~0.3)
         ctrl[3:6] = 0.0
 
-        def servo_palm(delta, gain=1.0, rate=0.035):
+        def servo_palm(delta, rate, kp=0.6, ki=0.008):
             # palm_x ~ -ARTx, palm_y ~ +ARTz, palm_z ~ +ARTy.  The
-            # per-step target increment is RATE-LIMITED: unclamped
-            # position-servo targets made the palm overshoot through the
-            # hover point and punt the ball off the table (observed:
-            # |palm-obj| 0.425 -> 0.059 by t=30, ball flung 2.5 m).
-            # The arm actuators are affine with gainprm=500 /
-            # biasprm=(0,-200,0) (adroit_relocate.xml): force =
-            # 500 ctrl - 200 qpos, i.e. the equilibrium position is
-            # 2.5x ctrl — so the desired joint position must be scaled
-            # by 200/500 = 0.4 when written into ctrl.  (The wrist and
-            # finger actuators are unit-gain position servos; their
-            # targets below ARE joint positions.)
-            d = np.clip(gain * np.asarray(delta), -rate, rate)
+            # per-step target increment is RATE-LIMITED.  The arm
+            # actuators are affine with gainprm=500 / biasprm=(0,-200,0)
+            # (adroit_relocate.xml): force = 500 ctrl - 200 qpos, i.e.
+            # the equilibrium position is 2.5x ctrl — so the desired
+            # joint position must be scaled by 200/500 = 0.4 when
+            # written into ctrl.  (The wrist and finger actuators are
+            # unit-gain position servos; their targets below ARE joint
+            # positions.)  kp < 1 damps the tracking limit cycle the
+            # pure rate-clamped target produced (observed +-0.05 xy
+            # oscillation); the anti-windup integrator cancels the
+            # vertical gravity droop (equilibrium = 2.5 ctrl - mg/200,
+            # ~0.05-0.07 m low — the palm stalled below the hover point
+            # without it).
+            delta = np.asarray(delta)
+            I = self._integ.get(b)
+            if I is None:
+                I = np.zeros(3)
+            I = np.clip(I + ki * np.clip(delta, -0.05, 0.05), -0.25, 0.25)
+            self._integ[b] = I
+            d = np.clip(kp * delta, -rate, rate) + I
             ctrl[ARTX] = 0.4 * (arm[0] - d[0])
             ctrl[ARTZ] = 0.4 * (arm[2] + d[1])
             ctrl[ARTY] = 0.4 * (arm[1] + d[2])
 
         xy_err = float(np.hypot(palm_obj[0], palm_obj[1]))
-        if t < self.reach_T:
-            # phase 1: align ABOVE the ball (xy first, then let z come
-            # down to the hover height) with fingers open — descending
-            # while laterally offset knocks the ball away
-            delta = -palm_obj + np.array([0.0, 0.0, self.hover])
-            if xy_err > 0.04:
-                delta[2] = max(delta[2], 0.0)   # don't descend yet
-            servo_palm(delta)
-            ctrl[FINGER_FLEX] = 0.1
-            ctrl[THUMB] = 0.0
-        elif t < self.reach_T + self.grasp_T:
-            # phase 2: vertical descend around the ball (xy frozen
-            # unless drifting), then close fingers + thumb
-            delta = -palm_obj + np.array([0.0, 0.0, self.descend])
-            servo_palm(delta, gain=0.7, rate=0.02)
-            closing = t >= self.reach_T + self.grasp_T - self.close_T
-            if closing:
-                ctrl[FINGER_FLEX] = self.grip * 1.4
-                ctrl[FINGER_SPREAD] = 0.0
-                ctrl[THUMB] = [1.0, 1.2, 0.25, 0.5, -1.2][:]
+        closing = self._closing.get(b, 0)
+        # The vertical slide (ARTY, jnt_range [0, 0.2]) RESTS AT ITS
+        # BOTTOM LIMIT: the palm cannot descend below ~0.07 over the
+        # ball center — the grasp happens at that height, fingers
+        # reaching down around the ball.  "Ready" is therefore pure xy
+        # alignment (the z condition the earlier controller waited on
+        # was unsatisfiable, which is how the 0/30 run stalled mid-air).
+        ready = xy_err < 0.028 and abs(float(palm_obj[2])) < 0.095
+
+        if closing == 0 and not ready:
+            if xy_err > 0.10:
+                # phase 1 — reach: coarse xy alignment above the ball,
+                # fingers open (lateral sweeps at speed with curled
+                # fingers can clip the ball)
+                delta = np.array([-palm_obj[0], -palm_obj[1], 0.0])
+                servo_palm(delta, rate=0.15)
+                ctrl[FINGER_FLEX] = 0.1
+                ctrl[THUMB] = 0.0
             else:
+                # phase 2 — fine xy alignment, fingers pre-curled,
+                # thumb prepositioned for the oppose
+                delta = np.array([-palm_obj[0], -palm_obj[1], 0.0])
+                servo_palm(delta, rate=0.04)
                 ctrl[FINGER_FLEX] = 0.25
                 ctrl[THUMB] = [0.8, 0.0, 0.0, 0.0, 0.0][:]
         else:
-            # phase 3: lift toward the target, keep the grip
-            delta = -palm_tgt
-            servo_palm(delta, gain=0.55, rate=0.03)
+            # phase 3 — close the grip in place, then lift to the target
+            self._closing[b] = closing + 1
             ctrl[FINGER_FLEX] = self.grip * 1.4
             ctrl[FINGER_SPREAD] = 0.0
             ctrl[THUMB] = [1.0, 1.2, 0.25, 0.5, -1.2][:]
+            if closing < self.CLOSE_T:
+                # hold the palm still while the fingers wrap
+                delta = np.array([-palm_obj[0], -palm_obj[1], 0.0])
+                servo_palm(delta, rate=0.008)
+            else:
+                dist = float(np.linalg.norm(palm_tgt))
+                rate = 0.12 if dist > 0.12 else 0.04
+                servo_palm(-palm_tgt, rate)
 
         a = norm_action(env, ctrl)
         if self.noise > 0:
@@ -151,6 +182,7 @@ def _jitted_step(env):
 
 def run_episode(env, expert, key, horizon=200):
     state = env.reset(key)
+    expert.reset()
     step = _jitted_step(env)
     obs_l, act_l, rew_l, goal_l, qpos_l = [], [], [], [], []
     env_state0 = {k: np.asarray(v)
@@ -181,13 +213,14 @@ def run_batch(env, expert, keys, horizon=200):
     import jax.numpy as jnp
     B = len(keys)
     state = jax.jit(jax.vmap(env.reset))(jnp.stack(keys))
+    expert.reset()
     step_b = jax.jit(jax.vmap(env.step))
     es0 = {k: np.asarray(v) for k, v in env.get_env_state(state).items()}
     obs_l, act_l, rew_l, goal_l = [], [], [], []
     for t in range(horizon):
         obs = np.asarray(state.obs)
         qpos = np.asarray(state.physics.qpos)
-        acts = np.stack([expert.action(obs[b], qpos[b], t)
+        acts = np.stack([expert.action(obs[b], qpos[b], t, b)
                          for b in range(B)])
         obs_l.append(obs)
         act_l.append(acts)
