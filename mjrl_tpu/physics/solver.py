@@ -203,6 +203,8 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
     # done with host-side index arrays at trace time.
     depths, point, normal, g1, g2 = find_contacts(model, data)
     C = int(depths.shape[0])
+    id_parts = []
+    soc_mu = jnp.zeros((0,), dtype)
     if C:
         gb = jnp.asarray(np.array(model.geom_body, np.int32))
         b1, b2 = gb[g1], gb[g2]
@@ -252,7 +254,17 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
 
         pair_condim = contact_pair_condims(model)
         idx_n = np.where(pair_condim == 1)[0]
-        idx_f = np.where(pair_condim >= 3)[0]
+        # friction classes (static): pyramidal emits 2*(condim-1) facet
+        # rows per contact — condim 3: t1/t2 slide facets; condim 4 adds
+        # a torsional pair (torque about the normal, mu = friction[1]);
+        # condim 6 adds rolling pairs (torque about t1/t2, friction[2]).
+        # Probed vs mjData.efc_J on condim-4/6 scenes: facet order is
+        # (t1+-, t2+-, tors+-, roll1+-, roll2+-) and efc_R is IDENTICAL
+        # across all facets of a contact (depends only on the slide mu).
+        # Elliptic models see every class clamped to 3 by
+        # contact_pair_condims (documented scope limit).
+        f_classes = [(cd, np.where(pair_condim == cd)[0])
+                     for cd in (3, 4, 6) if (pair_condim == cd).any()]
 
         def make_take(idx_np):
             """Active-set reduction (C,) -> (K,) for one condim class:
@@ -281,9 +293,24 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
                 cols.append(take(col[b2] - col[b1]))
             return cols
 
-        ids_n = ids_f = None
+        def jac_rot(dirs, cf_cols):
+            """(K, nv) rows for pure-torque test directions (moment =
+            dir, force = 0) — the torsional / rolling friction rows."""
+            cols = [cf_cols[d] * sum(cdof[d, k] * dirs[k] for k in range(3))
+                    for d in range(model.nv)]
+            return jnp.stack(cols, axis=-1)
+
+        # friction coefficients by component: MuJoCo combines geom pairs
+        # by elementwise max of (slide, torsion, roll) (probed via
+        # mjContact.friction)
+        mu_tors = jnp.maximum(model.geom_friction[g1, 1],
+                              model.geom_friction[g2, 1])
+        mu_roll = jnp.maximum(model.geom_friction[g1, 2],
+                              model.geom_friction[g2, 2])
+
         if len(idx_n):         # frictionless: one normal row, R from iw
             take, ids_n = make_take(idx_n)
+            id_parts.append(ids_n)
             pts = tuple(take(p) for p in point)
             j_row = jac(tuple(take(n) for n in normal), pts,
                         coeff_cols(take))
@@ -296,7 +323,7 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
             regs.append(jnp.maximum((1.0 - t_imp) / t_imp * take(iw),
                                     1e-12))
 
-        if len(idx_f):         # pyramidal: 4 facets, mu-scaled diagApprox
+        for cls_cd, idx_f in f_classes:
             take, ids_f = make_take(idx_f)
             mue = take(mu)
             t_imp = take(imp_c)
@@ -327,15 +354,30 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
                     brows.append(t_b)
                     actives.append(t_active)
                     regs.append(r_e)
+                id_parts.extend([ids_f] * 3)
+                soc_mu = mue
             else:
-                for j_t in (j_t1, j_t2):
+                # facet directions in MuJoCo efc order: slide pairs,
+                # then torsion (condim >= 4), then rolling (condim 6);
+                # all facets share the slide-mu diagApprox r_f
+                facet_dirs = [(j_t1, mue), (j_t2, mue)]
+                if cls_cd >= 4:
+                    j_rn = jac_rot(tuple(take(n) for n in normal), cfc)
+                    facet_dirs.append((j_rn, take(mu_tors)))
+                if cls_cd >= 6:
+                    j_rt1 = jac_rot(tuple(take(t) for t in t1), cfc)
+                    j_rt2 = jac_rot(tuple(take(t) for t in t2), cfc)
+                    facet_dirs.append((j_rt1, take(mu_roll)))
+                    facet_dirs.append((j_rt2, take(mu_roll)))
+                for j_t, mu_i in facet_dirs:
                     for sign_f in (1.0, -1.0):
-                        j_f = j_n + sign_f * mue[:, None] * j_t
+                        j_f = j_n + sign_f * mu_i[:, None] * j_t
                         rows.append(j_f)
                         arefs.append(-t_k * t_imp * t_pos)
                         brows.append(t_b)
                         actives.append(t_active)
                         regs.append(r_f)
+                id_parts.extend([ids_f] * (2 * len(facet_dirs)))
 
     if not rows:          # a model with no limits/contacts/equalities
         z = jnp.zeros((0,), dtype)
@@ -344,15 +386,9 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
     j_all = jnp.concatenate(rows)
     # per-slot candidate identity: -1 (never changes) for the static
     # prefix (equality/limit/ball/tendon rows), the selected candidate id
-    # for contact rows — repeated per facet (pyramidal appends 4 K-blocks)
-    # / per triple row (elliptic appends 3)
-    id_parts = []
-    if C:
-        if ids_n is not None:
-            id_parts.append(ids_n)
-        if ids_f is not None:
-            nfac = 3 if model.cone == ELLIPTIC else 4
-            id_parts.extend([ids_f] * nfac)
+    # for contact rows — id_parts repeats each class's candidate ids per
+    # facet block (pyramidal appends 2*(condim-1) K-blocks per class,
+    # elliptic 3)
     n_con_rows = sum(p.shape[0] for p in id_parts)
     slot_ids = jnp.concatenate(
         [jnp.full((j_all.shape[0] - n_con_rows,), -1, jnp.int32)]
@@ -364,11 +400,9 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
     # negative normal iterate can still project to a nonzero impulse)
     lo = jnp.concatenate([jnp.full((n_eq_rows,), -jnp.inf, dtype),
                           jnp.zeros((j_all.shape[0] - n_eq_rows,), dtype)])
-    soc_mu = jnp.zeros((0,), dtype)
-    if model.cone == ELLIPTIC and C and len(idx_f):
+    if model.cone == ELLIPTIC and soc_mu.shape[0]:
         st, K = _soc_layout(model)
         lo = lo.at[st:st + 3 * K].set(-jnp.inf)
-        soc_mu = mue
     return (j_all, jnp.concatenate(arefs),
             jnp.concatenate(brows), jnp.concatenate(actives),
             jnp.concatenate(regs), lo, soc_mu, slot_ids)
@@ -381,17 +415,18 @@ def _ball_rows(model: Model, qpos):
 
 
 def _contact_counts(model: Model):
-    """Static (n_frictionless, n_friction) contact row-group sizes
-    after the contact_topk cap."""
+    """Static {condim: count} contact group sizes after the per-class
+    contact_topk cap (keys 1/3/4/6; elliptic models only ever see 1/3
+    via contact_pair_condims' clamp)."""
     pair_condim = contact_pair_condims(model)
-    if not len(pair_condim):
-        return 0, 0
-    n_1 = int((pair_condim == 1).sum())
-    n_3 = int((pair_condim >= 3).sum())
-    if model.contact_topk:
-        n_1 = min(n_1, model.contact_topk)
-        n_3 = min(n_3, model.contact_topk)
-    return n_1, n_3
+    counts = {}
+    for cd in (1, 3, 4, 6):
+        n = int((np.asarray(pair_condim) == cd).sum()) \
+            if len(pair_condim) else 0
+        if model.contact_topk:
+            n = min(n, model.contact_topk)
+        counts[cd] = n
+    return counts
 
 
 def _soc_layout(model: Model):
@@ -403,8 +438,8 @@ def _soc_layout(model: Model):
                for k in model.eq_kind)
     n_ball = sum(1 for t in model.jnt_type if t == BALL)
     n_lim = int((np.asarray(model.dof_limited) > 0).sum())
-    n_1, n_3 = _contact_counts(model)
-    return n_eq + n_lim + n_ball + model.ntendon + n_1, n_3
+    cc = _contact_counts(model)
+    return n_eq + n_lim + n_ball + model.ntendon + cc[1], cc[3]
 
 
 def n_constraint_rows(model: Model):
@@ -417,9 +452,12 @@ def n_constraint_rows(model: Model):
     n_eq = sum({EQ_CONNECT: 3, EQ_WELD: 6}.get(k, 1)
                for k in model.eq_kind)
     n_ball = sum(1 for t in model.jnt_type if t == BALL)
-    n_1, n_3 = _contact_counts(model)
-    per_f = 3 if model.cone == ELLIPTIC else 4
-    n_con = n_1 + per_f * n_3
+    cc = _contact_counts(model)
+    if model.cone == ELLIPTIC:
+        n_con = cc[1] + 3 * cc[3]      # condim>3 clamped to 3 for elliptic
+    else:
+        # pyramidal: 2*(condim-1) facet rows per contact
+        n_con = cc[1] + 4 * cc[3] + 6 * cc[4] + 10 * cc[6]
     n_lim = int((np.asarray(model.dof_limited) > 0).sum())
     return n_eq + n_lim + n_ball + model.ntendon + n_con
 

@@ -74,9 +74,20 @@ def main():
         if float(stats[0]) > best:
             best = float(stats[0])
             best_params = policy.get_param_values()
-        print(json.dumps({"iter": i, "mean_return": round(float(stats[0]), 1),
-                          "elapsed_s": round(time.time() - t0, 1)}),
-              flush=True)
+        row = {"iter": i, "mean_return": round(float(stats[0]), 1),
+               "elapsed_s": round(time.time() - t0, 1)}
+        # per-iter training diagnostics (reference logs the same keys:
+        # npg_cg.py:148-149, batch_reinforce.py:105-108)
+        log = agent.logger.log
+        for k in ("alpha", "kl_dist", "surr_improvement", "num_samples"):
+            if k in log and log[k]:
+                row[k] = round(float(log[k][-1]), 5)
+        import numpy as _np
+        row["log_std"] = round(
+            float(_np.mean(_np.asarray(policy.params["log_std"]))), 3)
+        if "num_samples" in row:
+            row["ep_len"] = round(row["num_samples"] / args.ntraj, 1)
+        print(json.dumps(row), flush=True)
     print(json.dumps({
         "env": args.env, "solver": args.solver or "default",
         "cone": args.cone or "default",
