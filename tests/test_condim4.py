@@ -94,3 +94,38 @@ def test_condim4_torsion_resists_spin():
                                                  solver="newton")
     qacc3 = qacc_smooth(model3, State(qpos=qpos, qvel=qvel), jnp.zeros(0))
     assert abs(float(qacc3[5])) < 1.0    # no torsion rows at condim 3
+
+
+@pytest.mark.xfail(
+    strict=False,
+    reason="grasp-manifold fidelity gap under investigation: median "
+           "qacc error ~17% at the production solver budget on "
+           "multi-finger ball-cage states (single-point narrowphase vs "
+           "MuJoCo's multi-point box manifolds is the prime suspect); "
+           "single- and two-contact condim-4 states match to machine "
+           "precision (tests above)")
+def test_adroit_grasp_states_match_mujoco_goldens():
+    """Grasp-state qacc vs live-MuJoCo goldens on the full 36-dof Adroit
+    relocate model — ball seated in the fingertip cage, condim-4
+    hand-ball pairs active (tools/make_contact_goldens.py make_adroit).
+    The contact regime the DAPG flagship's grasp lives in."""
+    golden = os.path.join(os.path.dirname(__file__), "golden",
+                          "contact_adroit.npz")
+    if not os.path.exists(golden):
+        pytest.skip("no contact_adroit golden")
+    pytest.importorskip("gymnasium_robotics")
+    from mjrl_tpu.envs.adroit import AdroitRelocateEnv
+    env = AdroitRelocateEnv(dtype=jnp.float64)
+    model = env.model
+    g = np.load(golden)
+    acc = jax.jit(lambda q, v, u: qacc_smooth(
+        model, State(qpos=q, qvel=v), u))
+    errs = []
+    for i in range(min(len(g["qpos"]), 20)):
+        ours = np.asarray(acc(jnp.asarray(g["qpos"][i]),
+                              jnp.asarray(g["qvel"][i]),
+                              jnp.asarray(g["ctrl"][i])))
+        scale = max(np.abs(g["qacc"][i]).max(), 1.0)
+        errs.append(np.abs(ours - g["qacc"][i]).max() / scale)
+    errs = np.array(errs)
+    assert np.median(errs) < 0.05, (np.median(errs), np.sort(errs)[-5:])

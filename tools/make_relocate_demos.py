@@ -121,7 +121,8 @@ def run_batch(env, keys, horizon=200, noise=0.0, seed=0):
     state = jax.jit(jax.vmap(env.reset))(jnp.stack(keys))
     step_b = jax.jit(jax.vmap(env.step))
     expert = RelocateExpert(noise=noise, seed=seed)
-    backends = [JaxAdroitBackend(env) for _ in range(B)]
+    backend = JaxAdroitBackend(env)   # one shared jit cache; state is
+    backends = [backend] * B          # swapped per slot via set_state
 
     cr = env.model.ctrlrange
     mid = np.asarray(0.5 * (cr[:, 0] + cr[:, 1]))
@@ -165,6 +166,9 @@ def run_batch(env, keys, horizon=200, noise=0.0, seed=0):
 
 def main():
     import jax
+    if "--cpu" in sys.argv:
+        sys.argv.remove("--cpu")
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(os.path.dirname(__file__), "..",

@@ -25,10 +25,10 @@ try:
 except Exception:
     pass
 
-from mjrl_tpu.algos import NPG  # noqa: E402
+from mjrl_tpu.algos import NPG, TRPO  # noqa: E402
 from mjrl_tpu.baselines import MLPBaseline  # noqa: E402
 from mjrl_tpu.envs import GymEnv  # noqa: E402
-from mjrl_tpu.models.policies import MLP  # noqa: E402
+from mjrl_tpu.models.policies import MLP, LinearPolicy  # noqa: E402
 
 
 def main():
@@ -51,19 +51,30 @@ def main():
     ap.add_argument("--save", default=None,
                     help="pickle the trained policy here (for "
                          "benchmarks/parity/cross_eval.py)")
+    ap.add_argument("--algo", default="npg", choices=("npg", "trpo"),
+                    help="NPG (KL-guarded sqrt step) or TRPO "
+                         "(backtracking line search)")
+    ap.add_argument("--policy", default="mlp", choices=("mlp", "linear"),
+                    help="MLP vs linear gaussian policy "
+                         "(linear_nn_comparison.py sweep axis)")
     args = ap.parse_args()
 
     kw = {"solver": args.solver} if args.solver else {}
     if args.cone:
         kw["cone"] = args.cone
     e = GymEnv(args.env, env_kwargs=kw)
-    policy = MLP(e.spec, hidden_sizes=tuple(args.hidden), seed=args.seed,
-                 init_log_std=args.init_log_std)
+    if args.policy == "linear":
+        policy = LinearPolicy(e.spec, seed=args.seed,
+                              init_log_std=args.init_log_std)
+    else:
+        policy = MLP(e.spec, hidden_sizes=tuple(args.hidden),
+                     seed=args.seed, init_log_std=args.init_log_std)
     baseline = MLPBaseline(e.spec, reg_coef=1e-3, batch_size=64, epochs=2,
                            learn_rate=1e-3)
-    agent = NPG(e, policy, baseline,
-                normalized_step_size=args.step_size, seed=args.seed,
-                save_logs=True)
+    algo_cls = TRPO if args.algo == "trpo" else NPG
+    agent = algo_cls(e, policy, baseline,
+                     normalized_step_size=args.step_size, seed=args.seed,
+                     save_logs=True)
     t0 = time.time()
     best = -1e18
     best_params = None
