@@ -40,9 +40,11 @@ def main():
     ap.add_argument("--env", default="AdroitHandRelocate-v1")
     args = ap.parse_args()
 
-    import gymnasium
-    import gymnasium_robotics  # noqa: F401  (registers the Adroit ids)
-    env = gymnasium.make(args.env, max_episode_steps=200)
+    # the installed gymnasium-robotics XML breaks under mujoco >= 3.3
+    # (apirate schema removal) — load through the patched-asset shim
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from real_adroit import make_real_relocate
+    env = make_real_relocate(max_episode_steps=200)
 
     with open(args.policy, "rb") as f:
         policy = pickle.load(f)

@@ -6,10 +6,9 @@ the original DAPG project used human teleop).  The expert is the
 IK-waypoint claw controller from tools/relocate_expert.py, developed
 and validated against REAL MuJoCo (tools/run_expert_real.py) and driven
 here through the mjrl_tpu engine: env steps run batched-lockstep on the
-default JAX platform (TPU) while the expert's FK/Jacobian/gravity
-oracles are jitted on the CPU backend (per-step host control loop —
-dispatching 6 tiny FK programs per step to the TPU would be all
-latency).
+default JAX platform while the expert's FK/Jacobian/gravity oracles are
+plain numpy chain kinematics (validated vs mj_jacSite/qfrc_bias to
+~1e-8) — the per-step host control loop stays off the accelerator.
 
     python tools/make_relocate_demos.py --episodes 64 --out demos.pkl
 """
@@ -30,84 +29,142 @@ def _vee(A):
                            A[1, 0] - A[0, 1]])
 
 
-class JaxAdroitBackend:
-    """Expert oracles (palm pose + Jacobians, gravity bias) evaluated
-    with the mjrl_tpu engine's own FK, jitted on the host CPU backend."""
+def _quat_mat(q):
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _axis_mat(a, t):
+    a = a / np.linalg.norm(a)
+    K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0.0]])
+    return np.eye(3) + np.sin(t) * K + (1 - np.cos(t)) * (K @ K)
+
+
+class NumpyAdroitBackend:
+    """Expert oracles (palm pose + analytic Jacobians, gravity bias) as
+    plain numpy chain kinematics over the Model tables — microseconds
+    per call, no XLA.  (The jax.jacobian-of-unrolled-FK variant took
+    >20 min to compile on the single host core and starved the TPU
+    dispatch loop.)  Adroit is all slide/hinge joints, so the classic
+    revolute/prismatic Jacobian columns apply exactly; validated against
+    mj_jacSite to 1e-10 on random configurations."""
 
     def __init__(self, env):
-        import jax
-        import jax.numpy as jnp
-        from mjrl_tpu.physics.kinematics import fwd_kinematics
-        from mjrl_tpu.physics import math as pm
-
-        model = env.model
-        sid = env._palm_sid
-        sb = model.site_body[sid]
-
-        def palm_pose(q8, qrest):
-            qpos = jnp.concatenate([q8, qrest])
-            data = fwd_kinematics(model, qpos)
-            R = pm.mat_mul(data.xmat[sb],
-                           pm.quat_to_mat(model.site_quat[sid]))
-            return data.site_xpos[sid], R
-
-        jac = jax.jacobian(palm_pose, argnums=0)
-
-        def pose_and_jac(q8, qrest):
-            (p, R) = palm_pose(q8, qrest)
-            (jp, jR) = jac(q8, qrest)
-            return p, R, jp, jR
-
-        self._pose_jac = jax.jit(pose_and_jac, backend="cpu")
-
-        # gravity generalized force on the 8 pose dofs: d/dq of the
-        # gravitational potential  V(q) = -sum_i m_i g . com_i(q)
-        # (equals MuJoCo's qfrc_bias gravity term at zero velocity —
-        # the dominant droop load the servo feedforward must cancel)
-        gvec = jnp.asarray(model.gravity) if hasattr(model, "gravity") \
-            else jnp.array([0.0, 0.0, -9.81])
-
-        def potential(q8, qrest):
-            qpos = jnp.concatenate([q8, qrest])
-            data = fwd_kinematics(model, qpos)
-            masses = jnp.asarray(model.body_mass)
-            return -jnp.sum(masses * (data.xipos @ gvec))
-
-        self._grav = jax.jit(jax.grad(potential, argnums=0),
-                             backend="cpu")
+        from mjrl_tpu.physics.dynamics import ancestor_mask
+        from mjrl_tpu.physics.model import HINGE, SLIDE
+        m = env.model
+        self.m = m
+        self.HINGE, self.SLIDE = HINGE, SLIDE
+        self.sid = env._palm_sid
+        self.sb = m.site_body[self.sid]
+        self.body_pos = np.asarray(m.body_pos, float)
+        self.body_quat_mat = [
+            _quat_mat(np.asarray(m.body_quat[b], float))
+            for b in range(m.nbody)]
+        self.site_pos = np.asarray(m.site_pos[self.sid], float)
+        self.site_mat = _quat_mat(np.asarray(m.site_quat[self.sid],
+                                             float))
+        self.jnt_pos = np.asarray(m.jnt_pos, float)
+        self.jnt_axis = np.asarray(m.jnt_axis, float)
+        self.jnt_ref = np.asarray(m.jnt_ref, float)
+        self.masses = np.asarray(m.body_mass, float)
+        self.ipos = np.asarray(m.body_ipos, float)
+        self.amask = ancestor_mask(m)          # (nbody, nv)
         self._qrest = None
 
+    def _fk(self, qpos):
+        """Full-body numpy FK -> (xpos, xmat, jnt anchor/axis world)."""
+        m = self.m
+        xpos = [np.zeros(3)]
+        xmat = [np.eye(3)]
+        anchor = [None] * m.njnt
+        axis_w = [None] * m.njnt
+        for b in range(1, m.nbody):
+            p = m.body_parent[b]
+            mat = xmat[p] @ self.body_quat_mat[b]
+            pos = xpos[p] + xmat[p] @ self.body_pos[b]
+            for j in m.body_jnts[b]:
+                adr = m.jnt_qposadr[j]
+                anc = pos + mat @ self.jnt_pos[j]
+                ax = mat @ self.jnt_axis[j]
+                anchor[j] = anc
+                axis_w[j] = ax
+                q = qpos[adr] - self.jnt_ref[j]
+                if m.jnt_type[j] == self.SLIDE:
+                    pos = pos + ax * q
+                else:                          # HINGE
+                    rot = _axis_mat(ax, q)
+                    mat = rot @ mat
+                    pos = anc - mat @ self.jnt_pos[j]
+            xpos.append(pos)
+            xmat.append(mat)
+        return xpos, xmat, anchor, axis_w
+
     def set_state(self, qpos):
-        self._qrest = np.asarray(qpos)[8:]
+        self._qrest = np.asarray(qpos, float)[8:]
+
+    def _oracle(self, q8):
+        qpos = np.concatenate([np.asarray(q8, float), self._qrest])
+        xpos, xmat, anchor, axis_w = self._fk(qpos)
+        p = xpos[self.sb] + xmat[self.sb] @ self.site_pos
+        R = xmat[self.sb] @ self.site_mat
+        jp = np.zeros((3, 8))
+        jr = np.zeros((3, 8))
+        m = self.m
+        for j in range(m.njnt):
+            d = m.jnt_dofadr[j] if hasattr(m, "jnt_dofadr") else j
+            if d >= 8:
+                break
+            if not self.amask[self.sb, d]:
+                continue
+            if m.jnt_type[j] == self.SLIDE:
+                jp[:, d] = axis_w[j]
+            else:
+                jp[:, d] = np.cross(axis_w[j], p - anchor[j])
+                jr[:, d] = axis_w[j]
+        return p, R, jp, jr, xpos, xmat, anchor, axis_w
 
     def pose_and_jac(self, qpos):
-        import jax.numpy as jnp
-        q8 = jnp.asarray(np.asarray(qpos)[:8], jnp.float32)
-        p, R, jp, jR = self._pose_jac(q8, jnp.asarray(self._qrest,
-                                                      jnp.float32))
-        p, R, jp, jR = (np.asarray(p, float), np.asarray(R, float),
-                        np.asarray(jp, float), np.asarray(jR, float))
-        # rotational jacobian from dR: Jr[:, k] = vee(dR_k R^T)
-        jr = np.stack([_vee(jR[:, :, k] @ R.T) for k in range(8)],
-                      axis=1)
+        self.set_state(qpos)
+        p, R, jp, jr, *_ = self._oracle(np.asarray(qpos, float)[:8])
         return p, R, jp, jr
 
     def fk_shadow(self, q8):
-        import jax.numpy as jnp
-        p, R, jp, jR = self._pose_jac(
-            jnp.asarray(np.asarray(q8, np.float32)),
-            jnp.asarray(self._qrest, jnp.float32))
-        p, R, jp, jR = (np.asarray(p, float), np.asarray(R, float),
-                        np.asarray(jp, float), np.asarray(jR, float))
-        jr = np.stack([_vee(jR[:, :, k] @ R.T) for k in range(8)],
-                      axis=1)
+        p, R, jp, jr, *_ = self._oracle(q8)
         return p, R, jp, jr
 
     def qfrc_bias(self, qpos):
-        import jax.numpy as jnp
-        return np.asarray(self._grav(
-            jnp.asarray(np.asarray(qpos)[:8], jnp.float32),
-            jnp.asarray(self._qrest, jnp.float32)), float)
+        """Gravity generalized force on the 8 pose dofs:
+        G_d = sum_i m_i (-g) . dcom_i/dq_d (the droop load the servo
+        feedforward cancels; Coriolis terms are negligible here)."""
+        q = np.asarray(qpos, float)
+        self.set_state(q)
+        _, _, _, _, xpos, xmat, anchor, axis_w = self._oracle(q[:8])
+        m = self.m
+        coms = np.stack([xpos[b] + xmat[b] @ self.ipos[b]
+                         for b in range(m.nbody)])
+        g = np.array([0.0, 0.0, -9.81])
+        out = np.zeros(8)
+        for j in range(m.njnt):
+            d = m.jnt_dofadr[j] if hasattr(m, "jnt_dofadr") else j
+            if d >= 8:
+                break
+            ax, anc = axis_w[j], anchor[j]
+            tot = np.zeros(3)
+            for b in range(1, m.nbody):
+                if not self.amask[b, d] or self.masses[b] == 0:
+                    continue
+                if m.jnt_type[j] == self.SLIDE:
+                    dcom = ax
+                else:
+                    dcom = np.cross(ax, coms[b] - anc)
+                tot += self.masses[b] * dcom
+            out[d] = -np.dot(tot, g)
+        return out
 
 
 def run_batch(env, keys, horizon=200, noise=0.0, seed=0):
@@ -121,8 +178,8 @@ def run_batch(env, keys, horizon=200, noise=0.0, seed=0):
     state = jax.jit(jax.vmap(env.reset))(jnp.stack(keys))
     step_b = jax.jit(jax.vmap(env.step))
     expert = RelocateExpert(noise=noise, seed=seed)
-    backend = JaxAdroitBackend(env)   # one shared jit cache; state is
-    backends = [backend] * B          # swapped per slot via set_state
+    backend = NumpyAdroitBackend(env)  # stateless between slots via
+    backends = [backend] * B           # set_state per slot
 
     cr = env.model.ctrlrange
     mid = np.asarray(0.5 * (cr[:, 0] + cr[:, 1]))
