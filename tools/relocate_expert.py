@@ -43,13 +43,13 @@ THUMB = [25, 26, 27, 28, 29]
 PRE_FLEX = 0.45                       # claw pre-curl during approach
 PRE_THUMB = [0.35, 0.3, 0.0, 0.0, -0.2]
 GRIP_FLEX = 1.4                       # closed grip
-CARRY_FLEX = 1.7                      # deep curl: seats the ball in the palm
+CARRY_FLEX = 1.45                     # wrap (teleport hold-test tuned)
 CARRY_THUMB = [0.8, 1.3, 0.25, 0.5, -0.8]
 GRIP_THUMB = [0.55, 1.25, 0.25, 0.4, -0.9]
 
 # grasp cage center in the PALM SITE frame (fingertip centroid at
 # mid-closure, measured)
-CAGE_LOCAL = np.array([0.045, 0.0, 0.015])
+CAGE_LOCAL = np.array([0.035, -0.018, 0.015])
 
 # joint limits of the 8 pose dofs (arm + wrist)
 Q_LO = np.array([-0.25, 0.0, -0.3, -0.75, -0.75, -0.75, -0.524, -0.785])
@@ -321,16 +321,19 @@ class RelocateExpert:
             if np.linalg.norm(tgt - up) < 0.003 or n > 32:
                 self._enter(b, "carry")
         elif phase == "hold":
-            # latched: freeze everything and bank goal steps — chasing
-            # the swinging held ball across the 0.1 ring oscillates
-            # (observed: in at err 0.086, back out, in again).  Ease
-            # the curl slightly: the deep carry squeeze eventually pops
-            # the ball out when held for long (observed at 24/26 steps)
+            # latched target + ACTIVE pitch drift: a frozen grip leaks —
+            # the smooth ball rolls out along the palm normal at
+            # ~7 mm/step (rolling friction 1e-4; static retention tops
+            # out at ~0.4 s in teleport hold tests).  Slowly pitching
+            # the claw down rolls the ball back toward the palm pocket
+            # and stretches retention past the 25-step success bar
+            # (measured: drift 0.008 -> 28 goal steps vs 22 frozen)
             flex, thumb = CARRY_FLEX, CARRY_THUMB
+            pitch_cmd = min(1.2, pitch_cmd + 0.008)
         else:                              # carry
             flex, thumb = CARRY_FLEX, CARRY_THUMB
-            if np.linalg.norm(ball - target) < 0.09:
-                self._enter(b, "hold")   # freeze: let the payload swing decay
+            if np.linalg.norm(ball - target) < 0.095:
+                self._enter(b, "hold")
             if np.linalg.norm(ball - cage) > 0.14 and ball[2] < 0.06:
                 self._enter(b, "travel")       # ball dropped — re-grasp
             # steer by the measured BALL: the ball rides offset from the

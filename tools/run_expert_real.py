@@ -58,13 +58,14 @@ def main():
     ap.add_argument("--noise", type=float, default=0.0)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--out", default=None, help="pickle demo paths here")
+    ap.add_argument("--horizon", type=int, default=200)
     args = ap.parse_args()
 
     import mujoco
     from real_adroit import make_real_relocate
     from tools.relocate_expert import RelocateExpert
 
-    env = make_real_relocate()
+    env = make_real_relocate(max_episode_steps=args.horizon)
     u = env.unwrapped
     m = u.model
     sid = mujoco.mj_name2id(m, mujoco.mjtObj.mjOBJ_SITE, "S_grasp")
@@ -83,7 +84,7 @@ def main():
         d = u.data
         obs_l, act_l, rew_l, goal_l = [], [], [], []
         goal_steps = 0
-        for t in range(200):
+        for t in range(args.horizon):
             ctrl = expert.action(np.asarray(d.qpos), pose_and_jac,
                                  d.xpos[bid], d.site_xpos[tid],
                                  fk_shadow=fk_shadow,
