@@ -5,7 +5,14 @@
 # log file; if it doesn't GROW for $STALL_SECS, kill and retry (up to 3
 # attempts).  Usage: tpu_run.sh LOGFILE CMD...
 LOG="$1"; shift
-STALL_SECS=${STALL_SECS:-600}
+STALL_SECS=${STALL_SECS:-420}
+DONE_RE=${DONE_RE:-final_return}
+# resumable: a log that already holds a result is skipped (lets a
+# restarted queue pick up where it left off)
+if [ -f "$LOG" ] && grep -q "$DONE_RE" "$LOG"; then
+  echo "[tpu_run] $LOG already complete, skipping"
+  exit 0
+fi
 for attempt in 1 2 3; do
   : > "$LOG"
   "$@" > "$LOG" 2>&1 &
@@ -30,10 +37,10 @@ for attempt in 1 2 3; do
   done
   wait $PID 2>/dev/null
   rc=$?
-  if grep -q "final_return" "$LOG"; then
+  if grep -q "$DONE_RE" "$LOG"; then
     exit 0
   fi
   echo "[tpu_run] attempt $attempt ended rc=$rc without a result; retrying" >> "$LOG"
-  sleep 15
+  sleep 75   # tunnel grace to release the dead client
 done
 exit 1
