@@ -5,7 +5,7 @@
 # log file; if it doesn't GROW for $STALL_SECS, kill and retry (up to 3
 # attempts).  Usage: tpu_run.sh LOGFILE CMD...
 LOG="$1"; shift
-STALL_SECS=${STALL_SECS:-1200}
+STALL_SECS=${STALL_SECS:-900}
 DONE_RE=${DONE_RE:-final_return}
 # resumable: a log that already holds a result is skipped (lets a
 # restarted queue pick up where it left off)
