@@ -70,7 +70,11 @@ class NPG(BatchREINFORCE):
             hvp_sample_frac=self.hvp_subsample)
         alpha, delta = F.npg_step_size(g, npg, self.n_step_size,
                                        const_alpha=self.alpha)
-        if self.kl_guard:
+        # const_learn_rate is a PURE fixed step in the reference — the
+        # guard's KL cap would be derived from an n_step_size the user
+        # never chose, so it only applies to the adaptive step (advisor
+        # finding, round 4).  kl_guard=0 restores strict-reference NPG.
+        if self.kl_guard and self.alpha is None:
             import jax
             import jax.numpy as jnp
             kl_cap = self.kl_guard * 0.5 * self.n_step_size

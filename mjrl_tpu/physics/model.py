@@ -537,6 +537,10 @@ class ModelBuilder:
         semantics); ``condim`` overrides the geom-max rule (None keeps
         it).  Adroit declares its finger-finger contacts this way with
         condim 1."""
+        if condim is not None and int(condim) not in (1, 3, 4, 6):
+            raise NotImplementedError(
+                f"pair condim {condim} not supported (1 = frictionless, "
+                "3 = tangential, 4 = +torsional, 6 = +rolling friction)")
         self.explicit_pairs.append((int(geom1), int(geom2),
                                     None if condim is None else int(condim)))
 

@@ -290,7 +290,23 @@ def extract_planar(model: Model):
         return kc, bc, si, mu
 
     contacts_pt, contacts_cc = [], []
-    for (a, b) in model.contact_pairs:
+    # per-pair condim (aligned with contact_pairs; geom-max fallback for
+    # builders predating the field).  condim 1 pairs emit ONE exact
+    # frictionless row (matching the general solver — the old 4-facet
+    # emission gave them friction they shouldn't have; advisor finding,
+    # round 4); condim 4/6 pairs need torsional/rolling rows the fast
+    # path doesn't implement, so such models take the general solver.
+    # ELLIPTIC clamps 4/6 -> 3 like collision.contact_pair_condims.
+    gcondim = list(model.geom_condim)
+    pair_cds = (list(model.contact_pair_condim)
+                if model.contact_pair_condim else
+                [max(int(gcondim[a]), int(gcondim[b]))
+                 for (a, b) in model.contact_pairs])
+    if model.cone == ELLIPTIC_CONE:
+        pair_cds = [min(cd, 3) for cd in pair_cds]
+    elif any(cd in (4, 6) for cd in pair_cds):
+        return None
+    for (a, b), cd in zip(model.contact_pairs, pair_cds):
         ta, tb = gtypes[a], gtypes[b]
         if tb == PLANE:
             a, b = b, a
@@ -311,16 +327,16 @@ def extract_planar(model: Model):
             if tb == SPHERE:
                 contacts_pt.append((bidx, to2d(gpos[b]),
                                     float(gsize[b, 0]), up, h0,
-                                    kc, bc, si, mu, iw))
+                                    kc, bc, si, mu, iw, cd))
             elif tb == CAPSULE:
                 ends = cap_ends_2d(b)
                 if ends is None:
                     return None
                 (p0, p1), r = ends
                 contacts_pt.append((bidx, p0, r, up, h0, kc, bc, si,
-                                    mu, iw))
+                                    mu, iw, cd))
                 contacts_pt.append((bidx, p1, r, up, h0, kc, bc, si,
-                                    mu, iw))
+                                    mu, iw, cd))
             else:
                 return None
         elif ta == CAPSULE and tb == CAPSULE:
@@ -334,7 +350,7 @@ def extract_planar(model: Model):
             iw = float(biw[gbody[a], 0] + biw[gbody[b], 0])
             contacts_cc.append((gbody[a] - 1, pa0, pa1, ra,
                                 gbody[b] - 1, pb0, pb1, rb,
-                                kc, bc, si, mu, iw))
+                                kc, bc, si, mu, iw, cd))
         else:
             return None
 
@@ -792,9 +808,10 @@ def _constraint_rows_comp(p: PlanarParams, ctx, q, v):
     Jacobian entries, so dot products can skip them at trace time.
 
     Mirrors solver.constraint_rows exactly for the planar case: one
-    signed row per scalar dof limit, then 4 pyramidal facet rows per
-    contact (the out-of-plane tangent pair degenerates to two duplicate
-    normal rows, kept for parity with the 3D path's regularization)."""
+    signed row per scalar dof limit, then per contact either one
+    frictionless normal row (condim 1) or 4 pyramidal facet rows (the
+    out-of-plane tangent pair degenerates to two duplicate normal rows,
+    kept for parity with the 3D path's regularization)."""
     phi, org, sdofs, coms, chain = ctx
     nv = p.nv
     zero = jnp.zeros_like(q[0])
@@ -837,11 +854,21 @@ def _constraint_rows_comp(p: PlanarParams, ctx, q, v):
 
     ell = []   # elliptic triples: (jn, jt, aref_n, brow, act, reg_e)
 
-    def add_contact(jn, jt, depth, kc, bc, si, mu, iw):
+    def add_contact(jn, jt, depth, kc, bc, si, mu, iw, cd=3):
         imp = _impedance_scalar(si, jnp.maximum(depth, 0.0))
         act = (depth > 0).astype(q[0].dtype)
         aref = kc * imp * depth
         brow = bc * one
+        if cd == 1:
+            # frictionless: ONE normal row, R from the raw invweight sum
+            # (solver.constraint_rows idx_n branch) — same under either
+            # cone, and never part of the elliptic SOC block
+            rows.append(jn)
+            arefs.append(aref)
+            brows.append(brow)
+            actives.append(act)
+            regs.append(jnp.maximum((1.0 - imp) / imp * iw, 1e-12))
+            return
         if p.cone == ELLIPTIC_CONE:
             # [n, t1, t2] triple sharing the normal row's regularizer
             # (solver.py constraint_rows elliptic branch); rows are
@@ -861,7 +888,7 @@ def _constraint_rows_comp(p: PlanarParams, ctx, q, v):
             actives.append(act)
             regs.append(reg)
 
-    for (b, (lx, ly), r, up, h0, kc, bc, si, mu, iw) in p.contacts_pt:
+    for (b, (lx, ly), r, up, h0, kc, bc, si, mu, iw, cd) in p.contacts_pt:
         c, s = jnp.cos(phi[b]), jnp.sin(phi[b])
         px = org[b][0] + c * lx - s * ly
         py = org[b][1] + s * lx + c * ly
@@ -872,10 +899,10 @@ def _constraint_rows_comp(p: PlanarParams, ctx, q, v):
         tng = _perp(up)
         jn = point_vel_rows(b, pc, up)
         jt = point_vel_rows(b, pc, tng)
-        add_contact(jn, jt, depth, kc, bc, si, mu, iw)
+        add_contact(jn, jt, depth, kc, bc, si, mu, iw, cd)
 
     for (bA, pA0, pA1, rA, bB, pB0, pB1, rB,
-         kc, bc, si, mu, iw) in p.contacts_cc:
+         kc, bc, si, mu, iw, cd) in p.contacts_cc:
         def world(bb, pt):
             c, s = jnp.cos(phi[bb]), jnp.sin(phi[bb])
             return (org[bb][0] + c * pt[0] - s * pt[1],
@@ -893,7 +920,7 @@ def _constraint_rows_comp(p: PlanarParams, ctx, q, v):
         jtB = point_vel_rows(bB, pc, tng)
         jtA = point_vel_rows(bA, pc, tng)
         jt = [jtB[d] - jtA[d] for d in range(nv)]
-        add_contact(jn, jt, depth, kc, bc, si, mu, iw)
+        add_contact(jn, jt, depth, kc, bc, si, mu, iw, cd)
 
     if ell:
         # block order [n(K), t1(K), t2(K)]; t2 (the out-of-plane
@@ -928,19 +955,26 @@ def _constraint_rows_planar(p: PlanarParams, ctx, q, v):
 def n_planar_rows(p: PlanarParams):
     n_lim = sum(1 for d in range(p.nv) if p.limited[d])
     per = 3 if p.cone == ELLIPTIC_CONE else 4
-    return n_lim + per * (len(p.contacts_pt) + len(p.contacts_cc))
+    cds = [c[10] for c in p.contacts_pt] + [c[13] for c in p.contacts_cc]
+    return n_lim + sum(1 if cd == 1 else per for cd in cds)
 
 
 def _planar_soc(p: PlanarParams):
-    """(st, K, mu tuple) of the elliptic triple block, or None."""
+    """(st, K, mu tuple) of the elliptic triple block, or None.
+    Frictionless (condim 1) contacts emit single inline rows BEFORE the
+    flushed triple block, so they shift st and leave K."""
     if p.cone != ELLIPTIC_CONE:
         return None
-    K = len(p.contacts_pt) + len(p.contacts_cc)
+    fr_pt = [c for c in p.contacts_pt if c[10] != 1]
+    fr_cc = [c for c in p.contacts_cc if c[13] != 1]
+    K = len(fr_pt) + len(fr_cc)
     if not K:
         return None
-    st = sum(1 for d in range(p.nv) if p.limited[d])
-    mus = tuple(float(c[8]) for c in p.contacts_pt) \
-        + tuple(float(c[11]) for c in p.contacts_cc)
+    n_cd1 = (len(p.contacts_pt) - len(fr_pt)
+             + len(p.contacts_cc) - len(fr_cc))
+    st = sum(1 for d in range(p.nv) if p.limited[d]) + n_cd1
+    mus = tuple(float(c[8]) for c in fr_pt) \
+        + tuple(float(c[11]) for c in fr_cc)
     return st, K, mus
 
 

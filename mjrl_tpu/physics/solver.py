@@ -19,9 +19,12 @@ formulation, solved exactly:
       limits -> dof_invweight0[dof]; frictionless contacts -> iw1+iw2;
       pyramidal contacts -> (iw1+iw2) * 2 mu^2 (1 + mu^2))
 
-Friction cone: pyramidal (MuJoCo default) — each contact point yields 4
-facet rows  Jn ± mu Jt1, Jn ± mu Jt2, all with force >= 0; the tangent
-frame follows MuJoCo's convention t1 ∝ (0, n_z, -n_y).
+Friction cone: pyramidal (MuJoCo default) — each contact point yields
+2*(condim-1) facet rows, all with force >= 0: condim 3 gives the slide
+pairs Jn ± mu Jt1, Jn ± mu Jt2; condim 4 adds a torsional pair (torque
+about the normal, mu = friction[1]); condim 6 adds rolling pairs
+(torque about t1/t2, friction[2]).  The tangent frame follows MuJoCo's
+convention t1 ∝ (0, n_z, -n_y).
 
 Every formula above was pinned down empirically against mjData.efc_*
 probes (efc_KBIP, efc_R, efc_aref, efc_J) and the full solve validated to
@@ -116,7 +119,8 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
     (1 per joint coupling, 3 per connect; impulse lower bound lo =
     -inf), then one signed row per limited scalar dof, one row per ball
     joint rotation limit, one per limited tendon, then contact rows
-    (frictionless or 4 pyramidal facets per point) — all with lo = 0.
+    (frictionless, or 2*(condim-1) pyramidal facets per point) — all
+    with lo = 0.
     """
     dtype = qvel.dtype
     h = model.timestep
