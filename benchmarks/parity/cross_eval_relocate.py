@@ -31,31 +31,22 @@ jax.config.update("jax_platforms", "cpu")   # host eval loop; skip the TPU
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--policy", required=True)
-    ap.add_argument("--episodes", type=int, default=25)
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--stochastic", action="store_true")
-    ap.add_argument("--env", default="AdroitHandRelocate-v1")
-    args = ap.parse_args()
-
-    # the installed gymnasium-robotics XML breaks under mujoco >= 3.3
-    # (apirate schema removal) — load through the patched-asset shim
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from real_adroit import make_real_relocate
-    env = make_real_relocate(max_episode_steps=200)
-
-    with open(args.policy, "rb") as f:
-        policy = pickle.load(f)
-
+def cross_eval(policy, episodes=50, seed=0, stochastic=False, env=None):
+    """Roll ``policy`` in real MuJoCo -> result dict.  ``env`` reuses an
+    already-built shim env (callers evaluating several arms)."""
+    if env is None:
+        # the installed gymnasium-robotics XML breaks under mujoco >=
+        # 3.3 (apirate schema removal) — load via the patched-asset shim
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from real_adroit import make_real_relocate
+        env = make_real_relocate(max_episode_steps=200)
     returns, succ_steps, successes = [], [], 0
-    for ep in range(args.episodes):
-        o, _ = env.reset(seed=args.seed + ep)
+    for ep in range(episodes):
+        o, _ = env.reset(seed=seed + ep)
         total, goal_steps = 0.0, 0
         while True:
             a, info = policy.get_action(np.asarray(o, np.float64))
-            act = a if args.stochastic else info["evaluation"]
+            act = a if stochastic else info["evaluation"]
             o, r, terminated, truncated, step_info = env.step(
                 np.clip(np.asarray(act), -1.0, 1.0))
             total += float(r)
@@ -65,15 +56,30 @@ def main():
         returns.append(total)
         succ_steps.append(goal_steps)
         successes += int(goal_steps > 25)
-    returns = np.asarray(returns)
-    print(json.dumps({
-        "env": args.env, "policy": os.path.basename(args.policy),
-        "episodes": args.episodes,
-        "mode": "stochastic" if args.stochastic else "mean",
-        "success_rate_pct": round(100.0 * successes / args.episodes, 1),
+    return {
+        "episodes": episodes,
+        "mode": "stochastic" if stochastic else "mean",
+        "success_rate_pct": round(100.0 * successes / episodes, 1),
         "mean_goal_steps": round(float(np.mean(succ_steps)), 1),
-        "mean_return_buggy_dense": round(float(returns.mean()), 1),
-    }))
+        "mean_return_buggy_dense": round(float(np.mean(returns)), 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--policy", required=True)
+    ap.add_argument("--episodes", type=int, default=25)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--stochastic", action="store_true")
+    ap.add_argument("--env", default="AdroitHandRelocate-v1")
+    args = ap.parse_args()
+
+    with open(args.policy, "rb") as f:
+        policy = pickle.load(f)
+    out = cross_eval(policy, episodes=args.episodes, seed=args.seed,
+                     stochastic=args.stochastic)
+    out.update(env=args.env, policy=os.path.basename(args.policy))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

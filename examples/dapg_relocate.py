@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--lam_1", type=float, default=0.95)
     ap.add_argument("--hidden", type=int, nargs="+", default=[64, 64])
     ap.add_argument("--save", default=None)
+    ap.add_argument("--cross_eval_episodes", type=int, default=50,
+                    help="built-in real-MuJoCo cross-eval episodes per "
+                         "arm (mean + stochastic); 0 disables")
     args = ap.parse_args()
 
     with open(args.demos, "rb") as f:
@@ -96,12 +99,33 @@ def main():
                       "success_rate": ft_succ,
                       "bc_return": round(bc_ret, 1),
                       "bc_success_rate": bc_succ}), flush=True)
+    if best_params is not None and ft_ret < best:
+        policy.set_param_values(best_params)
     if args.save:
-        if best_params is not None and ft_ret < best:
-            policy.set_param_values(best_params)
         with open(args.save, "wb") as f:
             pickle.dump(policy, f)
         print(json.dumps({"saved": args.save}), flush=True)
+
+    # ---- built-in cross-eval stage: no in-sim Adroit headline without
+    # its real-MuJoCo transfer twin (round-4 VERDICT weak #1/#6 — this
+    # repo's own history shows in-sim success can overstate transfer)
+    if args.cross_eval_episodes > 0:
+        sys.path.insert(0, os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..", "benchmarks", "parity")))
+        from cross_eval_relocate import cross_eval
+        from real_adroit import make_real_relocate
+        renv = make_real_relocate(max_episode_steps=200)
+        mean_arm = cross_eval(policy, episodes=args.cross_eval_episodes,
+                              env=renv)
+        stoc_arm = cross_eval(policy, episodes=args.cross_eval_episodes,
+                              stochastic=True, env=renv)
+        print(json.dumps({
+            "stage": "cross_eval",
+            "in_sim_success_rate": ft_succ,
+            "real_success_rate_mean": mean_arm["success_rate_pct"],
+            "real_success_rate_stochastic": stoc_arm["success_rate_pct"],
+            "real_mean_goal_steps": mean_arm["mean_goal_steps"],
+            "episodes": args.cross_eval_episodes}), flush=True)
 
 
 if __name__ == "__main__":

@@ -85,7 +85,13 @@ class AdroitRelocateEnv(MujocoLikeEnv):
                  reward_type="dense"):
         from mjrl_tpu.physics.mjcf import load_mjcf
         builder = load_mjcf(adroit_asset())
-        self.model = builder.finalize(dtype, solver=solver)
+        # primal Newton: the grasp states couple 170+ constraint rows,
+        # which the dual APGD cannot converge at any production sweep
+        # budget (round-5 diagnosis: 9.9% median qacc error at 50
+        # sweeps, plateau 2.4% at 800); Newton reaches MuJoCo-grade
+        # accuracy in 25 iterations
+        self.model = builder.finalize(dtype, solver=solver,
+                                      newton_iters=25)
         self.dtype = dtype
         self.sparse_reward = reward_type.lower() == "sparse"
         names = builder.names

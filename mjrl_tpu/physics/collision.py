@@ -16,13 +16,24 @@ TPU the minor axis is padded to the 128-lane register width, so a
 keeps (C, nv) matrices out of this module (see contact_qfrc's static
 nv-loop).
 
-Supported primitive pairs (covers the reference envs + planar locomotion):
+Supported primitive pairs (covers the reference envs + planar locomotion
++ the Adroit hand suite):
 - sphere-plane / capsule-plane (reacher table, hopper floor)
-- sphere-box; capsule-box / cylinder-box via spheres sampled along the axis
-- capsule-capsule (swimmer self-contact)
+- sphere-box; capsule-box analytic 2-point manifold (deepest clipped
+  segment end + the opposite end when it also penetrates — MuJoCo
+  mjc_CapsuleBox semantics, probed: a near-parallel capsule rests on 2
+  points at the face-clipped segment ends, a tilted one on 1)
+- cylinder-box via spheres sampled along the axis (MuJoCo uses 5-point
+  convex MPR here; the 5 samples approximate its rim/side manifolds)
+- box-box 4-point face manifold (incident-face corners clamped into the
+  reference face, per-corner depths — MuJoCo mjc_BoxBox face semantics,
+  probed; edge-edge configurations are approximated by the dominant
+  face axis)
+- capsule-capsule (swimmer self-contact), capsule/sphere variants
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from mjrl_tpu.physics.dynamics import ancestor_mask
@@ -126,12 +137,201 @@ def _sphere_box(c, r, gm, i1, bpos, bs):
     sgn = tuple(jnp.sign(x) + (x == 0) for x in cl)
     n_in = (use0 * sgn[0], use1 * sgn[1], use2 * sgn[2])
     n_loc = _where(inside, n_in, _scale(e, 1.0 / dist))
-    depth = jnp.where(inside, r + jnp.minimum(m0, jnp.minimum(m1, m2)),
-                      r - dist)
-    # contact point midway between the box surface and the sphere surface
-    p_loc = _sub(_where(inside, cl, q), _scale(n_loc, 0.5 * depth))
+    m_min = jnp.minimum(m0, jnp.minimum(m1, m2))
+    depth = jnp.where(inside, r + m_min, r - dist)
+    # contact point midway between the box surface and the sphere
+    # surface.  The box-surface anchor for an INSIDE center is its
+    # projection onto the nearest face (center + slack along the face
+    # normal), matching MuJoCo's deep-contact position — anchoring at
+    # the center itself put deep contacts up to slack/2 too deep (wrong
+    # lever arms on the Adroit press states; round-5 diagnosis)
+    p_ref = _where(inside, _add(cl, _scale(n_loc, m_min)), q)
+    p_loc = _sub(p_ref, _scale(n_loc, 0.5 * depth))
     return depth, _add(_to_world(gm, i1, p_loc), bpos), \
         _to_world(gm, i1, n_loc)
+
+
+def _capsule_box_ends(gx, gm, size, i1, i2):
+    """Clipped-segment-end candidates for capsule(i2)-box(i1) pairs ->
+    (t0, t1, a_w, seg_w): the two t parameters plus the world segment
+    (origin, direction) to evaluate sphere-box contacts at.
+
+    MuJoCo mjc_CapsuleBox behavior (probed, see module docstring): the
+    contact face is the one nearest the deepest segment point; the
+    segment is clipped against that face's rectangle, and contacts sit
+    at the clipped ends — both active only when both penetrate (the
+    near-parallel manifold), else just the deepest."""
+    half = size[i2, 1]
+    bpos = _pos(gx, i1)
+    bs = (size[i1, 0], size[i1, 1], size[i1, 2])
+    axis = _col(gm, i2, 2)
+    cw = _pos(gx, i2)
+    a_w = _sub(cw, _scale(axis, half))
+    b_w = _add(cw, _scale(axis, half))
+    al = _to_local(gm, i1, _sub(a_w, bpos))
+    d = _to_local(gm, i1, _sub(b_w, a_w))
+
+    def seg(t):
+        return tuple(al[k] + t * d[k] for k in range(3))
+
+    def phi(t):
+        """Signed distance of segment point to the box surface."""
+        p = seg(t)
+        q = tuple(jnp.clip(p[k], -bs[k], bs[k]) for k in range(3))
+        e = _sub(p, q)
+        m = jnp.minimum(jnp.minimum(bs[0] - jnp.abs(p[0]),
+                                    bs[1] - jnp.abs(p[1])),
+                        bs[2] - jnp.abs(p[2]))
+        return jnp.where(m >= 0, -m, jnp.sqrt(_dot(e, e) + 1e-24))
+
+    # deepest point: phi is unimodal along the segment in the shallow
+    # regime — fixed-trip ternary search, fori_loop for a compact HLO
+    def body(_, lh):
+        lo, hi = lh
+        m1 = lo + (hi - lo) / 3.0
+        m2 = hi - (hi - lo) / 3.0
+        take = phi(m1) > phi(m2)
+        return (jnp.where(take, m1, lo), jnp.where(take, hi, m2))
+
+    lo0 = jnp.zeros_like(al[0])
+    lo, hi = jax.lax.fori_loop(0, 24, body, (lo0, 1.0 - lo0))
+    ts = 0.5 * (lo + hi)
+
+    # contact face at the deepest point (replicates _sphere_box's
+    # normal selection): outside -> the clamp residual axis; inside ->
+    # the min-slack axis
+    p = seg(ts)
+    q = tuple(jnp.clip(p[k], -bs[k], bs[k]) for k in range(3))
+    e = _sub(p, q)
+    m0, m1_, m2_ = (bs[0] - jnp.abs(p[0]), bs[1] - jnp.abs(p[1]),
+                    bs[2] - jnp.abs(p[2]))
+    inside = (m0 >= 0) & (m1_ >= 0) & (m2_ >= 0)
+    slack = jnp.stack([m0, m1_, m2_])
+    kidx = jnp.where(inside, jnp.argmin(slack, axis=0),
+                     jnp.argmax(jnp.stack([jnp.abs(e[0]), jnp.abs(e[1]),
+                                           jnp.abs(e[2])]), axis=0))
+
+    # clip the segment t-interval to the face rectangle of the two
+    # non-normal axes
+    tlo = jnp.zeros_like(ts)
+    thi = jnp.ones_like(ts)
+    for j in range(3):
+        dj, alj, sj = d[j], al[j], bs[j]
+        degen = jnp.abs(dj) <= 1e-12
+        safe = jnp.where(degen, 1.0, dj)
+        ta = (-sj - alj) / safe
+        tb = (sj - alj) / safe
+        jlo = jnp.minimum(ta, tb)
+        jhi = jnp.maximum(ta, tb)
+        inside_j = jnp.abs(alj) <= sj
+        jlo = jnp.where(degen, jnp.where(inside_j, 0.0, 1.0), jlo)
+        jhi = jnp.where(degen, jnp.where(inside_j, 1.0, 0.0), jhi)
+        skip = kidx == j
+        tlo = jnp.where(skip, tlo, jnp.maximum(tlo, jlo))
+        thi = jnp.where(skip, thi, jnp.minimum(thi, jhi))
+    tlo = jnp.clip(tlo, 0.0, 1.0)
+    thi = jnp.clip(thi, 0.0, 1.0)
+    bad = thi < tlo
+    tlo = jnp.where(bad, ts, tlo)
+    thi = jnp.where(bad, ts, thi)
+    seg_w = _sub(b_w, a_w)
+    return tlo, thi, a_w, seg_w
+
+
+def _box_box_manifold(gx, gm, size, i1, i2):
+    """4-slot box-box face manifold -> (depths, points, normals), each
+    a 4-list of component results for boxes i1 vs i2.
+
+    Probed MuJoCo mjc_BoxBox face behavior: the reference face is the
+    least-overlapping face axis over both boxes (SAT faces only; the
+    rare edge-edge winner is approximated by the nearest face); the 4
+    contacts are the incident face's corners clamped into the reference
+    rectangle, each with its own penetration depth along the reference
+    normal and MuJoCo's surface-midpoint position convention."""
+    p1c, p2c = _pos(gx, i1), _pos(gx, i2)
+    dpc = _sub(p2c, p1c)
+
+    def sel_axis(i, kidx):
+        cols = [_col(gm, i, k) for k in range(3)]
+        return tuple(jnp.where(kidx == 0, cols[0][m],
+                               jnp.where(kidx == 1, cols[1][m],
+                                         cols[2][m])) for m in range(3))
+
+    def sel_size(i, kidx):
+        return jnp.where(kidx == 0, size[i, 0],
+                         jnp.where(kidx == 1, size[i, 1], size[i, 2]))
+
+    def face_overlap(ir, io, dvec):
+        """Min face-axis overlap of ref box ir vs other box io ->
+        (overlap, kidx).  dvec = other center - ref center."""
+        overls = []
+        for k in range(3):
+            u = _col(gm, ir, k)
+            rB = sum(size[io, j] * jnp.abs(_dot(u, _col(gm, io, j)))
+                     for j in range(3))
+            overls.append(size[ir, k] + rB - jnp.abs(_dot(dvec, u)))
+        st = jnp.stack(overls)
+        return jnp.min(st, axis=0), jnp.argmin(st, axis=0)
+
+    def manifold(ir, io, irc, ioc, dvec):
+        """4 (depth, point, normal) with normal outward from ref ir."""
+        _, kidx = face_overlap(ir, io, dvec)
+        u = sel_axis(ir, kidx)
+        sgn = jnp.sign(_dot(dvec, u)) + (_dot(dvec, u) == 0)
+        n = _scale(u, sgn)                       # ref face outward normal
+        sk = sel_size(ir, kidx)
+        # incident face of io: most anti-parallel axis
+        dots = [_dot(n, _col(gm, io, j)) for j in range(3)]
+        midx = jnp.argmax(jnp.stack([jnp.abs(t) for t in dots]), axis=0)
+        vm = sel_axis(io, midx)
+        sm = -(jnp.sign(jnp.where(midx == 0, dots[0],
+                                  jnp.where(midx == 1, dots[1], dots[2])))
+               + (jnp.where(midx == 0, dots[0],
+                            jnp.where(midx == 1, dots[1], dots[2])) == 0))
+        szm = sel_size(io, midx)
+        # tangent axes of the incident face (the other two axes of io)
+        aidx = jnp.where(midx == 0, 1, 0)
+        bidx = jnp.where(midx == 2, 1, 2)
+        va, vb = sel_axis(io, aidx), sel_axis(io, bidx)
+        sza, szb = sel_size(io, aidx), sel_size(io, bidx)
+        fc = _add(ioc, _scale(vm, sm * szm))     # incident face center
+        out = []
+        for sa in (-1.0, 1.0):
+            for sb in (-1.0, 1.0):
+                corner = _add(fc, _add(_scale(va, sa * sza),
+                                       _scale(vb, sb * szb)))
+                pl = _to_local(gm, ir, _sub(corner, irc))
+                # clamp in-plane coords into the reference rectangle
+                pl = tuple(jnp.where(kidx == k, pl[k],
+                                     jnp.clip(pl[k], -size[ir, k],
+                                              size[ir, k]))
+                           for k in range(3))
+                nc = jnp.where(kidx == 0, pl[0],
+                               jnp.where(kidx == 1, pl[1], pl[2]))
+                depth = sk - sgn * nc
+                # surface-midpoint convention: halfway between the
+                # corner and the reference face plane
+                mid = sgn * (sk - 0.5 * depth)
+                pw = tuple(jnp.where(kidx == k, mid, pl[k])
+                           for k in range(3))
+                out.append((depth, _add(_to_world(gm, ir, pw), irc), n))
+        return out
+
+    ov1, _ = face_overlap(i1, i2, dpc)
+    ndpc = _scale(dpc, -1.0)
+    ov2, _ = face_overlap(i2, i1, ndpc)
+    man1 = manifold(i1, i2, p1c, p2c, dpc)
+    man2 = manifold(i2, i1, p2c, p1c, ndpc)
+    use1 = ov1 <= ov2
+    out = []
+    for (d1, pt1, n1), (d2, pt2, n2) in zip(man1, man2):
+        d = jnp.where(use1, d1, d2)
+        pt = _where(use1, pt1, pt2)
+        # emitted normal must point from geom i1 into geom i2: ref=i1
+        # normals already do; ref=i2 normals point toward i1 -> flip
+        n = _where(use1, n1, _scale(n2, -1.0))
+        out.append((d, pt, n))
+    return out
 
 
 def _capsule_capsule(a1, b1, r1, a2, b2, r2):
@@ -166,7 +366,8 @@ def _capsule_capsule(a1, b1, r1, a2, b2, r2):
 # static pair grouping
 # ---------------------------------------------------------------------------
 
-_GROUP_ORDER = ("plane_sphere", "plane_capsule", "box_sphere", "box_axis",
+_GROUP_ORDER = ("plane_sphere", "plane_capsule", "box_sphere",
+                "box_capsule", "box_axis", "box_box",
                 "capsule_sphere", "capsule_capsule", "sphere_sphere")
 
 
@@ -189,9 +390,19 @@ def _grouped_pairs(model: Model):
                 groups["plane_capsule"].append((a, b, pi, k))
         elif ta == BOX and tb == SPHERE:
             groups["box_sphere"].append((a, b, pi))
-        elif ta == BOX and tb in (CAPSULE, CYLINDER):
+        elif ta == BOX and tb == CAPSULE:
+            # analytic 2-slot manifold (deepest clipped end + parallel
+            # partner) — MuJoCo mjc_CapsuleBox semantics
+            for k in (0, 1):
+                groups["box_capsule"].append((a, b, pi, k))
+        elif ta == BOX and tb == CYLINDER:
+            # MuJoCo resolves cylinder-box with 5-point convex MPR; the
+            # 5 axis samples approximate its side/rim manifolds
             for k in range(_AXIS_SAMPLES):
                 groups["box_axis"].append((a, b, pi, k))
+        elif ta == BOX and tb == BOX:
+            for k in range(4):
+                groups["box_box"].append((a, b, pi, k))
         elif ta in (CAPSULE, CYLINDER) and tb == SPHERE:
             # sphere = zero-length capsule (Adroit fingertips vs ball)
             groups["capsule_sphere"].append((a, b, pi))
@@ -202,7 +413,7 @@ def _grouped_pairs(model: Model):
             # missing this pair type was the deep two-leg golden tail
             # (docs/ROADMAP.md item 9)
             groups["sphere_sphere"].append((a, b, pi))
-        # unsupported pairs (e.g. static box-box) are skipped
+        # unsupported pairs (plane-box, ellipsoid, mesh) are skipped
     return groups
 
 
@@ -286,6 +497,35 @@ def find_contacts(model: Model, data):
                               _pos(gx, i1),
                               (size[i1, 0], size[i1, 1], size[i1, 2]))
         out.append((d, p, n, i1, i2))
+    if groups["box_capsule"]:
+        i1 = idx(groups["box_capsule"], 0)
+        i2 = idx(groups["box_capsule"], 1)
+        ks = jnp.asarray(np.array([p[3] for p in groups["box_capsule"]],
+                                  np.float32))
+        tlo, thi, a_w, seg_w = _capsule_box_ends(gx, gm, size, i1, i2)
+        t = jnp.where(ks == 0, tlo, thi)
+        c = _add(a_w, _scale(seg_w, t))
+        bpos = _pos(gx, i1)
+        bs = (size[i1, 0], size[i1, 1], size[i1, 2])
+        d, p, n = _sphere_box(c, size[i2, 0], gm, i1, bpos, bs)
+        # both end depths, for MuJoCo's deep-contact rule
+        r_c = size[i2, 0]
+        d_lo, _, _ = _sphere_box(_add(a_w, _scale(seg_w, tlo)), r_c,
+                                 gm, i1, bpos, bs)
+        d_hi, _, _ = _sphere_box(_add(a_w, _scale(seg_w, thi)), r_c,
+                                 gm, i1, bpos, bs)
+        # suppress a slot when (a) the clip interval collapsed (both
+        # slots name the same point — double rows double the force;
+        # keep slot 0) or (b) the deeper end's center is inside the
+        # box: MuJoCo's submerged branch emits a single contact at the
+        # deepest end (probed)
+        collapse = thi - tlo < 1e-9
+        submerged = jnp.maximum(d_lo, d_hi) > r_c
+        hi_deeper = d_hi > d_lo
+        d = jnp.where((ks == 0) & submerged & hi_deeper, -1.0, d)
+        d = jnp.where((ks == 1) & (collapse
+                                   | (submerged & ~hi_deeper)), -1.0, d)
+        out.append((d, p, n, i1, i2))
     if groups["box_axis"]:
         i1 = idx(groups["box_axis"], 0)
         i2 = idx(groups["box_axis"], 1)
@@ -295,6 +535,18 @@ def find_contacts(model: Model, data):
         c = _add(_pos(gx, i2), _scale(_col(gm, i2, 2), t * size[i2, 1]))
         d, p, n = _sphere_box(c, size[i2, 0], gm, i1, _pos(gx, i1),
                               (size[i1, 0], size[i1, 1], size[i1, 2]))
+        out.append((d, p, n, i1, i2))
+    if groups["box_box"]:
+        i1 = idx(groups["box_box"], 0)
+        i2 = idx(groups["box_box"], 1)
+        ks = jnp.asarray(np.array([p[3] for p in groups["box_box"]],
+                                  np.int32))
+        man = _box_box_manifold(gx, gm, size, i1, i2)
+        d = sum((ks == k) * man[k][0] for k in range(4))
+        p = tuple(sum((ks == k) * man[k][1][m] for k in range(4))
+                  for m in range(3))
+        n = tuple(sum((ks == k) * man[k][2][m] for k in range(4))
+                  for m in range(3))
         out.append((d, p, n, i1, i2))
     if groups["capsule_sphere"]:
         i1 = idx(groups["capsule_sphere"], 0)

@@ -186,6 +186,7 @@ def load_mjcf(path=None, xml_string=None):
         viscosity=float(opt_get("viscosity", "0")),
         density=float(opt_get("density", "0")),
         cone=opt_get("cone", "pyramidal"),
+        noslip_iterations=int(opt_get("noslip_iterations", "0")),
         settotalmass=(float(compiler["settotalmass"])
                       if "settotalmass" in compiler else None))
 
@@ -263,6 +264,8 @@ def load_mjcf(path=None, xml_string=None):
             ref=float(a.get("ref", "0")) * scale,
             solref=_solparam(a, "solreflimit", _SOLREF_DEFAULT),
             solimp=_solparam(a, "solimplimit", _SOLIMP_DEFAULT),
+            margin=float(a.get("margin", "0")) * scale,
+            frictionloss=float(a.get("frictionloss", "0")),
             name=a.get("name"))
 
     def add_site(body_id, s, cls):

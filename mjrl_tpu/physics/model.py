@@ -112,6 +112,14 @@ class Model(struct.PyTreeNode):
     # system size, which dominates contact-rich models (peg: 474
     # candidates, <~20 ever simultaneously active).
     contact_topk: int = struct.field(pytree_node=False, default=0)
+    # primal-Newton constraint solver iterations (0 = dual APGD).  The
+    # Newton path (solver.solve_qacc_newton) is MuJoCo's own algorithm
+    # and converges quadratically on many-row coupled systems (Adroit
+    # grasps) where first-order dual sweeps stall; pyramidal cones only.
+    newton_iters: int = struct.field(pytree_node=False, default=0)
+    # MuJoCo <option noslip_iterations>: > 0 enables the noslip
+    # friction post-pass (solver.noslip_qacc) after each implicit solve
+    noslip_iters: int = struct.field(pytree_node=False, default=0)
     # RK4 constraint-row freeze granularity: by default rows (contact
     # geometry, impedance, active set) are rebuilt at EVERY RK4 stage,
     # matching MuJoCo's mj_RungeKutta (one full mj_forward per stage).
@@ -155,6 +163,8 @@ class Model(struct.PyTreeNode):
     dof_solimp: Any = None        # (nv, 5) (d0, dwidth, width, mid, power)
     dof_stiffness: Any = None     # (nv,)
     dof_ref: Any = None           # (nv,)
+    dof_margin: Any = None        # (nv,) limit activation distance
+    dof_frictionloss: Any = None  # (nv,) dry-friction force bound
     dof_qpos_idx: Tuple[int, ...] = struct.field(pytree_node=False,
                                                  default=())
     dof_invweight0: Any = None    # (nv,) diag(M^-1) at qpos0
@@ -416,12 +426,13 @@ class _Body:
 class ModelBuilder:
     def __init__(self, timestep=0.002, gravity=(0, 0, -9.81), integrator="euler",
                  viscosity=0.0, density=0.0, settotalmass=None,
-                 cone="pyramidal"):
+                 cone="pyramidal", noslip_iterations=0):
         self.opt = dict(timestep=timestep, gravity=np.asarray(gravity, np.float64),
                         integrator=EULER if integrator.lower() == "euler" else RK4,
                         viscosity=viscosity, density=density,
                         cone=ELLIPTIC if str(cone).lower() == "elliptic"
-                        else PYRAMIDAL)
+                        else PYRAMIDAL,
+                        noslip_iters=int(noslip_iterations))
         # <compiler settotalmass="m"/>: rescale all body masses+inertias
         # after compilation so they sum to m (mujoco mj_setTotalmass)
         self.settotalmass = settotalmass
@@ -460,7 +471,8 @@ class ModelBuilder:
     def add_joint(self, body, jnt_type, axis=(0, 0, 1), pos=(0, 0, 0),
                   jnt_range=None, damping=0.0, armature=0.0, stiffness=0.0,
                   ref=0.0, limited=None, solref=(0.02, 1.0),
-                  solimp=(0.9, 0.95, 0.001, 0.5, 2.0), name=None):
+                  solimp=(0.9, 0.95, 0.001, 0.5, 2.0), margin=0.0,
+                  frictionloss=0.0, name=None):
         if limited is None:
             limited = jnt_range is not None
         if _JNT_TYPES[jnt_type] == FREE:
@@ -485,7 +497,8 @@ class ModelBuilder:
                              np.float64),
             limited=float(bool(limited)), damping=damping, armature=armature,
             stiffness=stiffness, ref=ref, solref=np.asarray(solref, np.float64),
-            solimp=np.asarray(solimp, np.float64)))
+            solimp=np.asarray(solimp, np.float64), margin=float(margin),
+            frictionloss=float(frictionloss)))
         self.bodies[body].joints.append(jid)
         if name:
             self.names["joint"][name] = jid
@@ -813,14 +826,17 @@ class ModelBuilder:
                     for (i, j, cd) in self.explicit_pairs]
 
     def finalize(self, dtype=jnp.float32, solver="penalty",
-                 contact_topk=None, row_freeze_step=False):
+                 contact_topk=None, row_freeze_step=False,
+                 newton_iters=0):
         """``contact_topk``: implicit-solver active-set cap (see Model);
         None = auto (cap at 64 when a model has more expanded contact
         candidates than that — bounds the dual system on contact-rich
         models like peg insertion without touching small ones).
         ``row_freeze_step``: freeze RK4 constraint rows across the whole
         control step instead of rebuilding them at every RK4 stage
-        (see Model.row_freeze_step)."""
+        (see Model.row_freeze_step).
+        ``newton_iters``: > 0 switches the implicit path to the primal
+        Newton solver with that iteration budget (see Model)."""
         self._sort_by_body()
         nbody = len(self.bodies)
         njnt = len(self.joints)
@@ -864,6 +880,8 @@ class ModelBuilder:
         dof_solimp = np.tile([0.9, 0.95, 0.001, 0.5, 2.0], (nv, 1))
         dof_stiffness = np.zeros(nv)
         dof_ref = np.zeros(nv)
+        dof_margin = np.zeros(nv)
+        dof_frictionloss = np.zeros(nv)
         dof_qpos_idx = np.zeros(nv, np.int64)
         qpos0 = np.zeros(nq)
         for ji, x in enumerate(j):
@@ -887,7 +905,13 @@ class ModelBuilder:
                 dof_solimp[da] = x["solimp"]
                 dof_stiffness[da] = x["stiffness"]
                 dof_ref[da] = x["ref"]
+                dof_margin[da] = x.get("margin", 0.0)
                 dof_qpos_idx[da] = qa
+            # dry friction applies to every scalar dof incl. ball axes
+            # (MuJoCo dof_frictionloss; free joints keep 0 by default
+            # in the suite's models)
+            if x["type"] not in (FREE,):
+                dof_frictionloss[da:da + ndof] = x.get("frictionloss", 0.0)
 
         # fixed-tendon tables: constant Jacobian over scalar dofs.
         # springlength: the exact (-1, -1) sentinel (MuJoCo's unset
@@ -924,6 +948,7 @@ class ModelBuilder:
             integrator=self.opt["integrator"],
             solver=_solver_id(solver),
             cone=self.opt.get("cone", PYRAMIDAL),
+            noslip_iters=self.opt.get("noslip_iters", 0),
             contact_pairs=pairs_,
             contact_pair_condim=pair_condim_,
             body_pos=arr([b.pos for b in self.bodies]),
@@ -941,6 +966,8 @@ class ModelBuilder:
             dof_armature=arr(dof_armature),
             dof_limited=arr(dof_limited),
             dof_range=arr(dof_range),
+            dof_margin=arr(dof_margin),
+            dof_frictionloss=arr(dof_frictionloss),
             dof_solref=arr(dof_solref),
             dof_solimp=arr(dof_solimp),
             dof_stiffness=arr(dof_stiffness),
@@ -1039,4 +1066,5 @@ class ModelBuilder:
                              eq_data=(arr(eq_data) if eq_data is not None
                                       else model.eq_data),
                              contact_topk=int(contact_topk),
-                             row_freeze_step=bool(row_freeze_step))
+                             row_freeze_step=bool(row_freeze_step),
+                             newton_iters=int(newton_iters))

@@ -118,6 +118,15 @@ def extract_planar(model: Model):
     if model.nq != model.nv or model.nbody < 2 or model.ntendon \
             or model.neq:
         return None
+    # dof dry friction (frictionloss rows) and limit margins are only
+    # implemented in the general solver — such models must not diverge
+    # between engines
+    if model.dof_frictionloss is not None \
+            and (np.asarray(model.dof_frictionloss) > 0).any():
+        return None
+    if model.dof_margin is not None \
+            and (np.asarray(model.dof_margin) > 0).any():
+        return None
     jt = list(model.jnt_type)
     axes = np.asarray(model.jnt_axis)
     jpos3 = np.asarray(model.jnt_pos)

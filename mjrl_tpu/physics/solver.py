@@ -50,7 +50,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mjrl_tpu.physics.collision import (contact_geom_ids,
+from mjrl_tpu.physics.collision import (_norm, contact_geom_ids,
                                         contact_pair_condims, find_contacts)
 from mjrl_tpu.physics.dynamics import (ancestor_mask, ball_limit_terms,
                                        equality_terms)
@@ -102,7 +102,8 @@ def _impedance_components(si, violation):
 
 def constraint_rows(model: Model, data, cdof, qpos, qvel):
     """Assemble the static constraint rows -> (J (C, nv), aref_pos (C,),
-    b_row (C,), active (C,), R (C,), lo (C,), soc_mu (K,), slot_ids (C,))
+    b_row (C,), active (C,), R (C,), lo (C,), hi (C,), soc_mu (K,),
+    slot_ids (C,))
     — soc_mu is the per-contact friction of the elliptic cone triples
     (empty on pyramidal models); slot_ids identifies WHICH candidate
     occupies each padded row slot (-1 for rows whose identity is static),
@@ -117,7 +118,8 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
 
     Row layout (MuJoCo efc order): bilateral equality rows first
     (1 per joint coupling, 3 per connect; impulse lower bound lo =
-    -inf), then one signed row per limited scalar dof, one row per ball
+    -inf), then one boxed dry-friction row per dof with frictionloss,
+    then one signed row per limited scalar dof, one row per ball
     joint rotation limit, one per limited tendon, then contact rows
     (frictionless, or 2*(condim-1) pyramidal facets per point) — all
     with lo = 0.
@@ -142,16 +144,42 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
         regs.append(jnp.full((K,), 1.0, dtype)
                     * ((1.0 - imp_e) / imp_e * iw))
 
-    # ---- scalar-dof joint limits ---------------------------------------
+    # ---- dof dry friction (mjCNSTR_FRICTION_DOF) -----------------------
+    # one identity row per dof with frictionloss > 0, impulse bounded in
+    # [-floss, +floss] (force units; box bounds ride the hi vector).
+    # Probed semantics on the Adroit model: aref = -b qvel (no position
+    # term), b/R from the default solref/solimp at zero violation.
     nv = model.nv
+    n_fr_rows = 0
+    fl = (np.asarray(model.dof_frictionloss)
+          if model.dof_frictionloss is not None else np.zeros(nv))
+    fr_idx = np.nonzero(fl > 0)[0]
+    if fr_idx.size:
+        n_fr_rows = len(fr_idx)
+        fi = jnp.asarray(fr_idx, jnp.int32)
+        k_f, b_f = _kb(model.dof_solref, model.dof_solimp, h)
+        imp_f = impedance(model.dof_solimp, jnp.zeros((nv,), dtype))
+        rows.append(jnp.eye(nv, dtype=dtype)[fi])
+        arefs.append(jnp.zeros((n_fr_rows,), dtype))
+        brows.append(b_f[fi])
+        actives.append(jnp.ones((n_fr_rows,), dtype))
+        regs.append(((1.0 - imp_f) / imp_f * model.dof_invweight0)[fi])
+
+    # ---- scalar-dof joint limits ---------------------------------------
     q = qpos[jnp.asarray(np.array(model.dof_qpos_idx, np.int32))]
     lo, hi = model.dof_range[:, 0], model.dof_range[:, 1]
-    below = jnp.maximum(lo - q, 0.0)
-    above = jnp.maximum(q - hi, 0.0)
-    use_lower = below >= above
+    # nearer bound (margin can activate a limit BEFORE violation, so
+    # the side pick must use plain distance, not violation)
+    use_lower = (q - lo) <= (hi - q)
     sign = jnp.where(use_lower, 1.0, -1.0)
-    dist = jnp.where(use_lower, q - lo, hi - q)   # feasible when > 0
-    active_l = model.dof_limited * ((below > 0) | (above > 0))
+    # distance to the margin surface (mjData.efc_pos - margin): MuJoCo
+    # activates a joint limit when dist < jnt_margin and measures the
+    # impedance violation from the margin (Adroit sets margin=0.01 on
+    # every hand joint, with many joints resting exactly at a bound)
+    margin = (model.dof_margin if model.dof_margin is not None
+              else jnp.zeros_like(q))
+    dist = jnp.where(use_lower, q - lo, hi - q) - margin
+    active_l = model.dof_limited * (dist < 0)
     k_l, b_l = _kb(model.dof_solref, model.dof_solimp, h)
     imp_l = impedance(model.dof_solimp, jnp.maximum(-dist, 0.0))
     # statically drop never-limited dofs (e.g. the root dofs of every
@@ -232,14 +260,22 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
                          model.geom_friction[g2, 0])
         iw = (model.body_invweight0[b1, 0] + model.body_invweight0[b2, 0])
 
-        # MuJoCo tangent frame: t1 ∝ (0, n_z, -n_y), y-axis fallback
-        # (SoA components — see collision.py's layout rationale)
-        t1n = jnp.sqrt(normal[2] ** 2 + normal[1] ** 2)
-        safe = jnp.maximum(t1n, 1e-12)
-        ok = t1n > 1e-8
-        t1 = (jnp.zeros_like(t1n),
-              jnp.where(ok, normal[2] / safe, 1.0),
-              jnp.where(ok, -normal[1] / safe, 0.0))
+        # MuJoCo tangent frame (mju_makeFrame, pinned against con.frame
+        # on the Adroit grasp states): seed (0,1,0) unless |n_y| >= 0.5
+        # (then (0,0,1)), Gram-Schmidt against n, t2 = n x t1.  The
+        # frame ORIENTATION matters: a rotated tangent basis yields a
+        # rotated facet pyramid — a different discretized cone and a
+        # different solution on sliding contacts (round-5 diagnosis:
+        # the old (0, n_z, -n_y) rule only agreed for axis-aligned
+        # normals, where the flip merely permutes facets)
+        use_y = jnp.abs(normal[1]) < 0.5
+        vy = jnp.where(use_y, 1.0, 0.0)
+        vz = 1.0 - vy
+        dotv = normal[1] * vy + normal[2] * vz
+        t1r = (-normal[0] * dotv, vy - normal[1] * dotv,
+               vz - normal[2] * dotv)
+        t1nrm = _norm(t1r)
+        t1 = tuple(c / t1nrm for c in t1r)
         t2 = (normal[1] * t1[2] - normal[2] * t1[1],
               normal[2] * t1[0] - normal[0] * t1[2],
               normal[0] * t1[1] - normal[1] * t1[0])
@@ -385,7 +421,7 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
 
     if not rows:          # a model with no limits/contacts/equalities
         z = jnp.zeros((0,), dtype)
-        return (jnp.zeros((0, nv), dtype), z, z, z, z, z, z,
+        return (jnp.zeros((0, nv), dtype), z, z, z, z, z, z, z,
                 jnp.zeros((0,), jnp.int32))
     j_all = jnp.concatenate(rows)
     # per-slot candidate identity: -1 (never changes) for the static
@@ -397,19 +433,25 @@ def constraint_rows(model: Model, data, cdof, qpos, qvel):
     slot_ids = jnp.concatenate(
         [jnp.full((j_all.shape[0] - n_con_rows,), -1, jnp.int32)]
         + id_parts)
-    # impulse lower bounds: equality rows (the static prefix) are
-    # bilateral, every other row is a unilateral force >= 0 — except
-    # elliptic contact triples, whose componentwise clamp must pass
-    # everything through to the cone projection (a triple with a
-    # negative normal iterate can still project to a nonzero impulse)
+    # impulse bounds: equality rows (the static prefix) are bilateral,
+    # dof-friction rows are boxed in [-floss, +floss], every other row
+    # is a unilateral force >= 0 — except elliptic contact triples,
+    # whose componentwise clamp must pass everything through to the
+    # cone projection (a triple with a negative normal iterate can
+    # still project to a nonzero impulse)
+    n_rest = j_all.shape[0] - n_eq_rows - n_fr_rows
+    fl_b = jnp.asarray(fl[fr_idx], dtype) if n_fr_rows else \
+        jnp.zeros((0,), dtype)
     lo = jnp.concatenate([jnp.full((n_eq_rows,), -jnp.inf, dtype),
-                          jnp.zeros((j_all.shape[0] - n_eq_rows,), dtype)])
+                          -fl_b, jnp.zeros((n_rest,), dtype)])
+    hi = jnp.concatenate([jnp.full((n_eq_rows,), jnp.inf, dtype),
+                          fl_b, jnp.full((n_rest,), jnp.inf, dtype)])
     if model.cone == ELLIPTIC and soc_mu.shape[0]:
         st, K = _soc_layout(model)
         lo = lo.at[st:st + 3 * K].set(-jnp.inf)
     return (j_all, jnp.concatenate(arefs),
             jnp.concatenate(brows), jnp.concatenate(actives),
-            jnp.concatenate(regs), lo, soc_mu, slot_ids)
+            jnp.concatenate(regs), lo, hi, soc_mu, slot_ids)
 
 
 def _ball_rows(model: Model, qpos):
@@ -433,6 +475,11 @@ def _contact_counts(model: Model):
     return counts
 
 
+def _n_friction_rows(model: Model):
+    fl = model.dof_frictionloss
+    return 0 if fl is None else int((np.asarray(fl) > 0).sum())
+
+
 def _soc_layout(model: Model):
     """Static (start, K) of the elliptic contact triple block [n(K),
     t1(K), t2(K)] within the assembled rows (same layout arithmetic as
@@ -443,7 +490,8 @@ def _soc_layout(model: Model):
     n_ball = sum(1 for t in model.jnt_type if t == BALL)
     n_lim = int((np.asarray(model.dof_limited) > 0).sum())
     cc = _contact_counts(model)
-    return n_eq + n_lim + n_ball + model.ntendon + cc[1], cc[3]
+    return (n_eq + _n_friction_rows(model) + n_lim + n_ball
+            + model.ntendon + cc[1]), cc[3]
 
 
 def n_constraint_rows(model: Model):
@@ -463,11 +511,12 @@ def n_constraint_rows(model: Model):
         # pyramidal: 2*(condim-1) facet rows per contact
         n_con = cc[1] + 4 * cc[3] + 6 * cc[4] + 10 * cc[6]
     n_lim = int((np.asarray(model.dof_limited) > 0).sum())
-    return n_eq + n_lim + n_ball + model.ntendon + n_con
+    return (n_eq + _n_friction_rows(model) + n_lim + n_ball
+            + model.ntendon + n_con)
 
 
 def solve_qacc(m, a0, j, aref, active, r, lam0, sweeps=SWEEPS, lo=None,
-               soc=None):
+               hi=None, soc=None):
     """Diagonally-preconditioned APGD solve of the regularized DUAL
     -> (qacc, lam).
 
@@ -531,15 +580,19 @@ def solve_qacc(m, a0, j, aref, active, r, lam0, sweeps=SWEEPS, lo=None,
 
     rhs = (aref - j @ a0) / ds
     mu0 = lam0 * active * ds
-    # impulse lower bound in the scaled space (0 = unilateral force>=0,
-    # -inf = bilateral equality row / elliptic contact triple)
+    # impulse bounds in the scaled space (lo 0 = unilateral force>=0,
+    # -inf = bilateral equality row / elliptic contact triple; finite
+    # [lo, hi] boxes = dof dry-friction rows)
     mu_lo = jnp.zeros_like(ds) if lo is None else lo * ds
+    mu_hi = None if hi is None else jnp.where(jnp.isinf(hi), hi, hi * ds)
 
     def project(z):
         """Feasible-set projection: componentwise clamp, then the SOC
         projection for elliptic contact triples (which their -inf lo
         passed through untouched)."""
         z = jnp.maximum(z, mu_lo)
+        if mu_hi is not None:
+            z = jnp.minimum(z, mu_hi)
         if soc is not None:
             n_i = z[st:st + K]
             t1_i = z[st + K:st + 2 * K]
@@ -587,6 +640,176 @@ def solve_qacc(m, a0, j, aref, active, r, lam0, sweeps=SWEEPS, lo=None,
     return a0 + minv_jt.T @ lam, lam
 
 
+NEWTON_ITERS = 25        # outer Newton iterations (quadratic convergence)
+NEWTON_LS_ITERS = 8      # exact 1D Newton line-search iterations
+NOSLIP_SWEEPS = 100      # APGD sweeps for the noslip friction post-pass
+
+
+def _noslip_layout(model: Model):
+    """Static row-index arrays of the friction DIMENSIONS for the
+    noslip post-pass -> (pair_plus, pair_minus, fr_rows): pyramidal
+    facet-pair rows (each tangent/torsion/roll direction's +/- facets)
+    and dof dry-friction rows (same layout arithmetic as
+    n_constraint_rows)."""
+    from mjrl_tpu.physics.model import EQ_CONNECT, EQ_WELD
+    n_eq = sum({EQ_CONNECT: 3, EQ_WELD: 6}.get(k, 1)
+               for k in model.eq_kind)
+    n_fr = _n_friction_rows(model)
+    n_ball = sum(1 for t in model.jnt_type if t == BALL)
+    n_lim = int((np.asarray(model.dof_limited) > 0).sum())
+    cc = _contact_counts(model)
+    base = n_eq + n_fr + n_lim + n_ball + model.ntendon + cc[1]
+    plus, minus = [], []
+    for cd in (3, 4, 6):
+        K = cc[cd]
+        if not K:
+            continue
+        for f in range(cd - 1):
+            plus += list(range(base + 2 * f * K, base + 2 * f * K + K))
+            minus += list(range(base + (2 * f + 1) * K,
+                                base + (2 * f + 1) * K + K))
+        base += 2 * (cd - 1) * K
+    return (np.asarray(plus, np.int32), np.asarray(minus, np.int32),
+            np.arange(n_eq, n_eq + n_fr, dtype=np.int32))
+
+
+def noslip_qacc(model: Model, m, j, aref, lam, lo, hi, qacc):
+    """MuJoCo's noslip post-pass, TPU-native -> qacc'.
+
+    MuJoCo (<option noslip_iterations>) reruns the FRICTION dimensions
+    after the main solve with the constraint softening removed, holding
+    the normal loads fixed — without it a grasped object creeps out of
+    the hand (regularized friction always slips a little; the Adroit
+    model ships noslip_iterations=20, and relocate grasps visibly leak
+    without it — round-5 diagnosis).  Per pyramidal facet pair the
+    tangent force is lam+ - lam- with the sum (the normal load share) s
+    fixed, so the friction subproblem is a BOX QP: minimize the slip
+    residual over d in [-s, s] (dof-friction rows: d in [-floss,
+    +floss]).  MuJoCo runs sequential PGS — hostile to TPU — but the
+    box QP is convex with the same fixed point, so we solve it with the
+    same diagonally-preconditioned APGD used by the dual (all matvecs,
+    vmappable).  Inactive pairs have s = 0, so their box collapses and
+    no activation mask is needed."""
+    ip, im, ifr = _noslip_layout(model)
+    if len(ip) + len(ifr) == 0:
+        return qacc
+    ipj, imj, ifrj = jnp.asarray(ip), jnp.asarray(im), jnp.asarray(ifr)
+    b_rows = jnp.concatenate([0.5 * (j[ipj] - j[imj]), j[ifrj]])
+    d0 = jnp.concatenate([lam[ipj] - lam[imj], lam[ifrj]])
+    s = lam[ipj] + lam[imj]
+    d_lo = jnp.concatenate([-s, lo[ifrj]])
+    d_hi = jnp.concatenate([s, hi[ifrj]])
+    # slip targets: facet pairs share their aref, so the pair target is
+    # exactly zero slip; dof-friction rows keep their -b*v target
+    aref_f = jnp.concatenate([0.5 * (aref[ipj] - aref[imj]), aref[ifrj]])
+    minv_bt = spd_solve_rows(m, b_rows)                       # (P, nv)
+    a_base = qacc - minv_bt.T @ d0
+    rhs = aref_f - b_rows @ a_base
+    diag = jnp.sum(b_rows * minv_bt, axis=-1)
+    ds = jnp.sqrt(jnp.maximum(diag, 1e-12))
+
+    def op(v):
+        u = v / ds
+        return (b_rows @ (minv_bt.T @ u)) / ds
+
+    def power(carry, _):
+        v, _ = carry
+        w = op(v)
+        n = jnp.maximum(jnp.linalg.norm(w), 1e-12)
+        return (w / n, n), ()
+
+    v0 = jnp.ones_like(ds)
+    (_, lmax), _ = jax.lax.scan(
+        power, (v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-12),
+                jnp.ones((), qacc.dtype)), None, length=POWER_ITERS)
+    el = jnp.maximum(1.1 * lmax, 1e-8)
+    rhs_s = rhs / ds
+    mu_lo, mu_hi = d_lo * ds, d_hi * ds
+
+    def project(z):
+        return jnp.clip(z, mu_lo, mu_hi)
+
+    def apgd(carry, _):
+        mu, y, t = carry
+        g = op(y) - rhs_s
+        mu_new = project(y - g / el)
+        restart = jnp.sum((y - mu_new) * (mu_new - mu)) > 0
+        t = jnp.where(restart, 1.0, t)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        mom = jnp.where(restart, 0.0, (t - 1.0) / t_new)
+        y = mu_new + mom * (mu_new - mu)
+        return (mu_new, y, t_new), ()
+
+    mu0 = project(d0 * ds)
+    (mu, _, _), _ = jax.lax.scan(apgd, (mu0, mu0, jnp.ones((), qacc.dtype)),
+                                 None, length=NOSLIP_SWEEPS)
+    return a_base + minv_bt.T @ (mu / ds)
+
+
+def solve_qacc_newton(m, a0, j, aref, active, r, lo, hi,
+                      iters=NEWTON_ITERS):
+    """Primal Newton solve of the same soft-constraint QP -> (qacc, lam).
+
+    MuJoCo's own Newton solver: minimize over a
+        f(a) = 1/2 (a-a0)^T M (a-a0) + sum_i active_i * psi_i(J_i a - aref_i)
+    with per-row cost psi from the impulse bounds —
+        bilateral  (lo=-inf, hi=inf): x^2 / 2R           (equality rows)
+        unilateral (lo=0,    hi=inf): min(x, 0)^2 / 2R   (contacts/limits)
+        boxed      (finite lo/hi):    Huber with force clipped to
+                                      [lo, hi]           (dof dry friction)
+    Each iteration: exact Hessian H = M + J^T diag(w) J over the active
+    quadratic rows (ONE (nv,C)@(C,nv) matmul — MXU-shaped), a Cholesky
+    solve, and an exact line search (1D Newton on the piecewise-
+    quadratic restriction).  Converges in ~10 iterations on the Adroit
+    grasp states where the dual APGD needs thousands of sweeps (the
+    170+-row coupled systems are too ill-conditioned for first-order
+    sweeps at the production budget — round-5 diagnosis).  Elliptic
+    cones keep the dual path (the SOC cost is not row-separable)."""
+    bilateral = jnp.isneginf(lo) & jnp.isposinf(hi)
+    boxed = jnp.isfinite(lo) & jnp.isfinite(hi)
+
+    def row_terms(x):
+        """Per-row force-gradient psi'(x) and Hessian weight psi''(x)."""
+        xr = x / r
+        g_row = jnp.where(bilateral, xr,
+                          jnp.where(boxed, jnp.clip(xr, lo, hi),
+                                    jnp.minimum(x, 0.0) / r))
+        w = jnp.where(bilateral, 1.0,
+                      jnp.where(boxed, (xr > lo) & (xr < hi),
+                                x < 0.0).astype(x.dtype))
+        return active * g_row, active * w / r
+
+    def body(_, a):
+        x = j @ a - aref
+        g_row, w = row_terms(x)
+        grad = m @ (a - a0) + j.T @ g_row
+        jw = j * jnp.sqrt(w)[:, None]
+        # tiny ridge: H is SPD in exact arithmetic (M SPD + PSD), but
+        # the native Cholesky path has no pivot floor and f32 roundoff
+        # on near-redundant facet rows can push an eigenvalue negative
+        h = (m + jw.T @ jw
+             + (1e-9 * jnp.trace(m) / m.shape[-1])
+             * jnp.eye(m.shape[-1], dtype=a.dtype))
+        step = -spd_solve(h, grad)
+        dx = j @ step
+        mdd = step @ (m @ step)
+        mdr = step @ (m @ (a - a0))
+
+        def ls(_, alpha):
+            ga, wa = row_terms(x + alpha * dx)
+            f1 = mdr + alpha * mdd + ga @ dx
+            f2 = mdd + (wa * dx) @ dx
+            return alpha - f1 / jnp.maximum(f2, 1e-12)
+
+        alpha = jax.lax.fori_loop(0, NEWTON_LS_ITERS, ls,
+                                  jnp.ones((), a.dtype))
+        return a + jnp.clip(alpha, 0.0, 2.0) * step
+
+    qacc = jax.lax.fori_loop(0, iters, body, a0)
+    lam = -row_terms(j @ qacc - aref)[0]
+    return qacc, lam
+
+
 def constrained_qacc(model: Model, data, cdof, qpos, qvel, m,
                      qfrc_minus_bias, warm=None, sweeps=None, ctx=None):
     """qacc under the implicit solver -> (qacc, qacc_smooth, warm', ctx).
@@ -601,7 +824,7 @@ def constrained_qacc(model: Model, data, cdof, qpos, qvel, m,
     ``sweeps`` (static) overrides the APGD iteration count; None = the
     cold-start default.
 
-    ``ctx`` (the returned 8-tuple of constraint_rows) reuses a FROZEN
+    ``ctx`` (the returned 9-tuple of constraint_rows) reuses a FROZEN
     row context: J / positions / impedances / regularizers from an
     earlier evaluation, with only the velocity part of aref recomputed
     — the row-assembly amortization for RK4 models whose 16 dynamics
@@ -609,7 +832,7 @@ def constrained_qacc(model: Model, data, cdof, qpos, qvel, m,
     a0 = spd_solve(m, qfrc_minus_bias)
     if ctx is None:
         ctx = constraint_rows(model, data, cdof, qpos, qvel)
-    j, aref_pos, b_row, active, r, lo, soc_mu, slot_ids = ctx
+    j, aref_pos, b_row, active, r, lo, hi, soc_mu, slot_ids = ctx
     if warm is None:
         lam0 = jnp.zeros(j.shape[:1], a0.dtype)
     else:
@@ -617,6 +840,18 @@ def constrained_qacc(model: Model, data, cdof, qpos, qvel, m,
         lam0 = jnp.where(slot_ids == ids_prev, lam_prev, 0.0)
     if j.shape[0] == 0:
         return a0, a0, (lam0, slot_ids), ctx
+    # primal Newton option (Model.newton_iters > 0, pyramidal only):
+    # MuJoCo-grade convergence for contact-rich many-row models (the
+    # Adroit class); the impulse warm start is unnecessary — Newton
+    # reconverges from a0 quadratically — but lam is still returned in
+    # the warm format so step_n's carry stays uniform
+    if model.newton_iters and model.cone != ELLIPTIC:
+        aref_n = aref_pos - b_row * (j @ qvel)
+        qacc, lam = solve_qacc_newton(m, a0, j, aref_n, active, r, lo, hi,
+                                      iters=model.newton_iters)
+        if model.noslip_iters:
+            qacc = noslip_qacc(model, m, j, aref_n, lam, lo, hi, qacc)
+        return qacc, a0, (lam, slot_ids), ctx
     # elliptic cone: static block layout + the per-contact mu data ride
     # the frozen ctx (soc_mu has zero length on pyramidal models)
     soc = None
@@ -631,5 +866,7 @@ def constrained_qacc(model: Model, data, cdof, qpos, qvel, m,
         sw = 4 * sw
     aref = aref_pos - b_row * (j @ qvel)
     qacc, lam = solve_qacc(m, a0, j, aref, active, r, lam0,
-                           sweeps=sw, lo=lo, soc=soc)
+                           sweeps=sw, lo=lo, hi=hi, soc=soc)
+    if model.noslip_iters and model.cone != ELLIPTIC:
+        qacc = noslip_qacc(model, m, j, aref, lam, lo, hi, qacc)
     return qacc, a0, (lam, slot_ids), ctx

@@ -96,19 +96,22 @@ def test_condim4_torsion_resists_spin():
     assert abs(float(qacc3[5])) < 1.0    # no torsion rows at condim 3
 
 
-@pytest.mark.xfail(
-    strict=False,
-    reason="grasp-manifold fidelity gap under investigation: median "
-           "qacc error ~17% at the production solver budget on "
-           "multi-finger ball-cage states (single-point narrowphase vs "
-           "MuJoCo's multi-point box manifolds is the prime suspect); "
-           "single- and two-contact condim-4 states match to machine "
-           "precision (tests above)")
 def test_adroit_grasp_states_match_mujoco_goldens():
     """Grasp-state qacc vs live-MuJoCo goldens on the full 36-dof Adroit
     relocate model — ball seated in the fingertip cage, condim-4
     hand-ball pairs active (tools/make_contact_goldens.py make_adroit).
-    The contact regime the DAPG flagship's grasp lives in."""
+    The contact regime the DAPG flagship's grasp lives in.
+
+    Round-5 closure of the ~17% grasp-solve gap (was xfail): analytic
+    capsule-box + box-box manifolds, MuJoCo's mju_makeFrame tangent
+    basis, joint-limit margins, dof frictionloss rows, the primal
+    Newton solver and the noslip friction post-pass take the 40-state
+    set to median 0.4% (32/40 states < 5%; 10 at machine zero).  The
+    residual tail is deep-penetration pathology — fingers >= 2 cm
+    inside the thin table box, where MuJoCo's own mjc_CapsuleBox deep
+    branch is ad hoc (probed: its reported depth DECREASES as the
+    capsule sinks past the box midplane) — a regime healthy rollouts
+    never enter."""
     golden = os.path.join(os.path.dirname(__file__), "golden",
                           "contact_adroit.npz")
     if not os.path.exists(golden):

@@ -85,8 +85,8 @@ def contact_compare(model, g, i, mj_model, mj_data, names=None):
         our_set.setdefault(key, []).append(
             (round(float(depths[c]), 5), np.round(pts[c], 4).tolist()))
     for k, v in sorted(our_set.items()):
-        n1 = names[k[0]] if names else str(k[0])
-        n2 = names[k[1]] if names else str(k[1])
+        n1 = names.get(k[0], f"g{k[0]}") if names else str(k[0])
+        n2 = names.get(k[1], f"g{k[1]}") if names else str(k[1])
         print(f"  OUR {n1:<22} {n2:<22} x{len(v)} {v}")
 
 
@@ -104,25 +104,27 @@ def main():
     mj_data = mujoco.MjData(mj_model)
 
     from mjrl_tpu.physics.mjcf import load_mjcf
-    grid = [(50, 64), (200, 64), (800, 64), (800, 0), (3200, 0)]
-    results = {}
-    for sweeps, topk in grid:
-        builder = load_mjcf(adroit_asset())
-        model = builder.finalize(jnp.float64, solver="newton",
-                                 contact_topk=topk)
-        errs = qacc_err(model, g, sweeps)
-        results[(sweeps, topk)] = errs
-        print(f"sweeps={sweeps:5d} topk={topk:3d}: "
-              f"median={np.median(errs):.4f} p90={np.percentile(errs, 90):.4f}"
-              f" max={errs.max():.4f}")
+    if "--grid" in sys.argv:
+        grid = [(50, 64), (200, 64), (800, 64), (800, 0), (3200, 0)]
+        for sweeps, topk in grid:
+            builder = load_mjcf(adroit_asset())
+            model = builder.finalize(jnp.float64, solver="newton",
+                                     contact_topk=topk)
+            errs = qacc_err(model, g, sweeps)
+            print(f"sweeps={sweeps:5d} topk={topk:3d}: "
+                  f"median={np.median(errs):.4f} "
+                  f"p90={np.percentile(errs, 90):.4f}"
+                  f" max={errs.max():.4f}")
+            order = np.argsort(errs)
+            print("  per-state:", np.round(errs[order], 3).tolist())
+            print("  worst ids:", order[-6:].tolist())
 
-    # contact-set comparison on the 3 worst states at the largest budget
-    from mjrl_tpu.physics.mjcf import load_mjcf
-    worst = np.argsort(results[grid[-1]])[-3:]
+    # contact-set comparison on named states (default: 3200-sweep worst)
     builder = load_mjcf(adroit_asset())
     model = builder.finalize(jnp.float64, solver="newton", contact_topk=0)
     inv = {v: k for k, v in builder.names["geom"].items()}
-    for i in worst:
+    states = [int(a) for a in sys.argv[1:] if a.isdigit()]
+    for i in states:
         mj_data2 = mujoco.MjData(mj_model)
         contact_compare(model, g, int(i), mj_model, mj_data2, names=inv)
 
