@@ -40,10 +40,37 @@ def main():
     ap.add_argument("--episodes", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--stochastic", action="store_true")
+    ap.add_argument("--xml_option", default=None,
+                    help="inject an <option> attribute into the env XML "
+                         "before loading, e.g. cone=elliptic — the "
+                         "cone-matched transfer arm for elliptic-trained "
+                         "policies (docs/BENCHMARKS.md round-4 section)")
     args = ap.parse_args()
 
     import gymnasium
     kwargs = {}
+    if args.xml_option:
+        import re
+        import tempfile
+        from gymnasium.envs.mujoco import mujoco_env  # noqa: F401
+        base = os.path.join(os.path.dirname(
+            sys.modules["gymnasium.envs.mujoco"].__file__), "assets",
+            args.env.split("-")[0].lower() + ".xml")
+        txt = open(base).read()
+        key, val = args.xml_option.split("=", 1)
+        attr = f'{key}="{val}"'
+        if "<option" in txt:
+            txt = re.sub(r"<option", f"<option {attr}", txt, count=1)
+        else:
+            # no <option> element: add one right after the <mujoco ...> tag
+            txt = txt.replace(">", f"><option {attr}/>", 1)
+        fd, patched = tempfile.mkstemp(suffix=".xml")
+        with os.fdopen(fd, "w") as f:
+            f.write(txt)
+        kwargs["xml_file"] = patched
+        # only the v5 MujocoEnv generation accepts xml_file; the v5
+        # default obs/reward match v4 for the locomotion suite
+        args.env = args.env.split("-")[0] + "-v5"
     if args.env.startswith("Humanoid"):
         # Humanoid-v5 can drop the cinert/cvel/qfrc/cfrc obs blocks,
         # matching our 45-d [qpos[2:], qvel] observation

@@ -264,7 +264,10 @@ def load_mjcf(path=None, xml_string=None):
             ref=float(a.get("ref", "0")) * scale,
             solref=_solparam(a, "solreflimit", _SOLREF_DEFAULT),
             solimp=_solparam(a, "solimplimit", _SOLIMP_DEFAULT),
-            margin=float(a.get("margin", "0")) * scale,
+            # NOT angle-scaled: MuJoCo compiles jnt margin verbatim even
+            # under <compiler angle="degree"> (probed: range converts,
+            # margin doesn't)
+            margin=float(a.get("margin", "0")),
             frictionloss=float(a.get("frictionloss", "0")),
             name=a.get("name"))
 
