@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--gae", type=float, default=0.97)
     ap.add_argument("--seed", type=int, default=123)
     ap.add_argument("--init_log_std", type=float, default=-0.25)
+    ap.add_argument("--min_log_std", type=float, default=-3.0,
+                    help="entropy floor: log_std clamp applied on every "
+                         "update (the Ant late-training-decay lever — "
+                         "docs/BENCHMARKS.md round-5 decay study)")
     ap.add_argument("--hidden", type=int, nargs="+", default=[64, 64])
     ap.add_argument("--save", default=None,
                     help="pickle the trained policy here (for "
@@ -76,10 +80,12 @@ def main():
     e = GymEnv(args.env, env_kwargs=kw)
     if args.policy == "linear":
         policy = LinearPolicy(e.spec, seed=args.seed,
-                              init_log_std=args.init_log_std)
+                              init_log_std=args.init_log_std,
+                              min_log_std=args.min_log_std)
     else:
         policy = MLP(e.spec, hidden_sizes=tuple(args.hidden),
-                     seed=args.seed, init_log_std=args.init_log_std)
+                     seed=args.seed, init_log_std=args.init_log_std,
+                     min_log_std=args.min_log_std)
     baseline = MLPBaseline(e.spec, reg_coef=1e-3, batch_size=64, epochs=2,
                            learn_rate=1e-3)
     algo_cls = TRPO if args.algo == "trpo" else NPG
