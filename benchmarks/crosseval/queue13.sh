@@ -24,4 +24,15 @@ bash $RUN $LOGS/r5_ant_floor2.jsonl \
     --min_log_std -1.6 \
     --save $POLS/r5_ant_floor2.pkl --resume
 
+# BASELINE.json configs[2] completion: the HalfCheetah arms of the
+# "Hopper/HalfCheetah NPG vs TRPO, linear-vs-NN sweep"
+bash $RUN $LOGS/r5_cheetah_trpo.jsonl \
+  python tools/train_gym.py --env HalfCheetah-v3 --iters 100 --ntraj 100 \
+    --horizon 1000 --algo trpo --step_size 0.1 --seed 123 \
+    --save $POLS/r5_cheetah_trpo.pkl --resume
+bash $RUN $LOGS/r5_cheetah_linear.jsonl \
+  python tools/train_gym.py --env HalfCheetah-v3 --iters 100 --ntraj 100 \
+    --horizon 1000 --policy linear --step_size 0.1 --seed 123 \
+    --save $POLS/r5_cheetah_linear.pkl --resume
+
 echo "queue13 done"
