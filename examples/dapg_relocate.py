@@ -108,17 +108,32 @@ def main():
 
     # ---- built-in cross-eval stage: no in-sim Adroit headline without
     # its real-MuJoCo transfer twin (round-4 VERDICT weak #1/#6 — this
-    # repo's own history shows in-sim success can overstate transfer)
+    # repo's own history shows in-sim success can overstate transfer).
+    # Runs in a FRESH SUBPROCESS: this process's jax runtime is bound to
+    # the TPU client, and a wedged tunnel (the known degraded-tunnel
+    # stall) deadlocks in-process policy evaluation — a clean CPU
+    # interpreter is immune.
     if args.cross_eval_episodes > 0:
-        sys.path.insert(0, os.path.abspath(os.path.join(
-            os.path.dirname(__file__), "..", "benchmarks", "parity")))
-        from cross_eval_relocate import cross_eval
-        from real_adroit import make_real_relocate
-        renv = make_real_relocate(max_episode_steps=200)
-        mean_arm = cross_eval(policy, episodes=args.cross_eval_episodes,
-                              env=renv)
-        stoc_arm = cross_eval(policy, episodes=args.cross_eval_episodes,
-                              stochastic=True, env=renv)
+        import subprocess
+        tool = os.path.abspath(os.path.join(
+            os.path.dirname(__file__), "..", "benchmarks", "parity",
+            "cross_eval_relocate.py"))
+        ppath = args.save or "/tmp/_dapg_relocate_policy.pkl"
+        if not args.save:
+            with open(ppath, "wb") as f:
+                pickle.dump(policy, f)
+
+        def arm(stochastic):
+            cmd = [sys.executable, tool, "--policy", ppath,
+                   "--episodes", str(args.cross_eval_episodes)]
+            if stochastic:
+                cmd.append("--stochastic")
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=7200).stdout.strip().splitlines()
+            return json.loads(out[-1])
+
+        mean_arm = arm(False)
+        stoc_arm = arm(True)
         print(json.dumps({
             "stage": "cross_eval",
             "in_sim_success_rate": ft_succ,
